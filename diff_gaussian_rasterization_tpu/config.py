@@ -1,0 +1,100 @@
+"""Rasterizer configuration.
+
+The reference (hjr37/diff-gaussian-rasterization) splits configuration across a
+compile-time header (``cuda_rasterizer/config.h:15-17``: NUM_CHANNELS=3,
+BLOCK_X=BLOCK_Y=16) and a runtime NamedTuple
+(``diff_gaussian_rasterization/__init__.py:180-195`` in the light variant).
+Here everything static lives in one frozen dataclass that is hashable, so it can
+be a ``jax.jit`` static argument.  The full-vs-light variant split of the
+reference becomes the four ``pose_*_branch`` flags (README.md:53-58 of the
+reference: the light variant drops the SH color branch and the 2D-covariance
+branch of the pose Jacobian).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static configuration of the TPU rasterizer.
+
+    Numerical constants mirror the reference kernels exactly (citations are to
+    the light variant unless noted):
+
+    - ``alpha_cap`` / ``alpha_min`` / ``t_terminate``: forward.cu:364-373
+    - ``lowpass``: forward.cu:110-111 (0.3 added to the 2D covariance diagonal)
+    - ``radius_sigma`` / ``eig_clamp``: forward.cu:229-232 (3-sigma radius,
+      eigenvalue discriminant clamped to >= 0.1)
+    - ``near``: auxiliary.h:154 (near-plane cull at z <= 0.2; NDC-bounds
+      culling is disabled in the reference and here)
+    - ``fov_clamp``: forward.cu:82-87 (view-space point clamped to 1.3*tanfov
+      before the EWA Jacobian)
+    - ``w_eps``: forward.cu:199 (epsilon added to the homogeneous w)
+    """
+
+    # --- tiling (TPU-native default: 8 sublanes x 128 lanes; set 16x16 to
+    # mirror the reference's CUDA block shape) ---
+    tile_h: int = 8
+    tile_w: int = 128
+
+    # --- blend thresholds (exact reference semantics) ---
+    alpha_cap: float = 0.99
+    alpha_min: float = 15.0 / 255.0
+    t_terminate: float = 1e-4
+
+    # --- projection / footprint ---
+    lowpass: float = 0.3
+    radius_sigma: float = 3.0
+    eig_clamp: float = 0.1
+    near: float = 0.2
+    fov_clamp: float = 1.3
+    w_eps: float = 1e-7
+
+    # --- parity quirks (see reference SURVEY appendix A) ---
+    # The reference uses quaternions unnormalized (forward.cu:127, the
+    # normalization is commented out).  Set True for well-behaved optimization.
+    normalize_quaternions: bool = False
+    # The reference's depth-variance image is identically zero in the forward
+    # (forward.cu:317,410) while its backward still consumes dL/d(depth_var)
+    # (backward.cu:608-611).  True reproduces that; False renders the real
+    # per-pixel variance  sum_i (d_i - gt)^2 * alpha_i * T_i  and
+    # differentiates it consistently.
+    ref_depth_var: bool = True
+
+    # --- pose-gradient branches (full vs light variant) ---
+    # light variant: ndc + depth branches only (backward.cu:633-651,701-751).
+    # full variant additionally: SH/campos branch (full backward.cu:159-166)
+    # and the Sigma2D/EWA branch (full backward.cu:243-302).
+    pose_ndc_branch: bool = True
+    pose_depth_branch: bool = True
+    pose_cov2d_branch: bool = False
+    pose_sh_branch: bool = False
+
+    # --- capacity (static shapes: XLA cannot resize like the reference's
+    # allocator closures, rasterize_points.cu:27-33) ---
+    # Maximum (gaussian, tile) instance pairs.  None -> choose at call time
+    # from a multiple of P.  Overflow is reported, never silent.
+    max_instances: Optional[int] = None
+    instance_multiplier: int = 8  # used when max_instances is None
+
+    # --- backend selection ---
+    backend: str = "auto"  # "pallas" | "xla" | "auto"
+    # gaussians processed per chunk inside the tile kernels
+    chunk: int = 64
+
+    def replace(self, **kw) -> "RasterConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def tile_px(self) -> int:
+        return self.tile_h * self.tile_w
+
+    def full_variant(self) -> "RasterConfig":
+        """Pose Jacobian with all branches (the reference 'full' package)."""
+        return self.replace(pose_cov2d_branch=True, pose_sh_branch=True)
+
+
+DEFAULT_CONFIG = RasterConfig()

@@ -1,0 +1,250 @@
+"""Per-Gaussian preprocessing: culling, projection, covariance, footprint.
+
+TPU-native equivalent of ``FORWARD::preprocess`` (light forward.cu:156-256)
+and its helpers ``computeCov3D`` (forward.cu:118-152) and ``computeCov2D``
+(forward.cu:74-113).  The CUDA design runs one thread per Gaussian with early
+returns; here everything is a vectorized masked computation over the whole
+Gaussian set — XLA maps it onto the VPU/MXU with no divergence.
+
+The backward of this module is **pure JAX autodiff**.  That single fact
+replaces three reference kernels:
+
+- ``computeCov2DCUDA`` (backward.cu:144-276): conic -> cov2D -> cov3D / mean
+  gradients, including the 1.3*tanfov clamp's gradient gate
+  (``x_grad_mul``, backward.cu:175-176), which falls out of
+  ``jnp.clip`` automatically.
+- the backward ``preprocessCUDA`` (backward.cu:348-416): mean gradients
+  through the projection and through the per-Gaussian depth.
+- ``pose_gradient_preCUDA`` (backward.cu:701-751): the d(ndc)/d(view) and
+  d(depth)/d(view) tables exist implicitly because ``Camera.projmatrix`` is a
+  function of the live view matrix.
+
+The light-vs-full pose-branch split (reference README.md:53-58) is realized
+with ``stop_gradient`` on the view matrix in the branches the light variant
+drops (2D covariance, SH view direction).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..config import RasterConfig
+from . import sh as sh_mod
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (all shape (P, ...))."""
+
+    mask: jnp.ndarray          # (P,) bool: survives culling and has a footprint
+    depth: jnp.ndarray         # (P,) view-space z (differentiable: mean & pose)
+    depth_sgview: jnp.ndarray  # (P,) same value, pose gradient stopped
+    xy: jnp.ndarray            # (P, 2) pixel-space center
+    conic: jnp.ndarray         # (P, 3) inverse 2D covariance (A, B, C)
+    color: jnp.ndarray         # (P, 3) RGB (from SH or precomputed)
+    opacity: jnp.ndarray       # (P,) raw opacity
+    radius: jnp.ndarray        # (P,) int32 pixel radius (0 where masked)
+    rect_min: jnp.ndarray      # (P, 2) int32 (tx, ty) inclusive tile bounds
+    rect_max: jnp.ndarray      # (P, 2) int32 exclusive tile bounds
+    tiles_touched: jnp.ndarray  # (P,) int32
+
+
+def quat_to_rotmat(q):
+    """(P,4) quaternion (r,x,y,z) -> (P,3,3) rotation matrix.
+
+    Matches forward.cu:134-138; the reference does *not* normalize
+    (forward.cu:127) — normalization is the caller's choice via config.
+    """
+    r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            jnp.stack([1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - r * z), 2.0 * (x * z + r * y)], -1),
+            jnp.stack([2.0 * (x * y + r * z), 1.0 - 2.0 * (x * x + z * z), 2.0 * (y * z - r * x)], -1),
+            jnp.stack([2.0 * (x * z - r * y), 2.0 * (y * z + r * x), 1.0 - 2.0 * (x * x + y * y)], -1),
+        ],
+        -2,
+    )
+
+
+def compute_cov3d(scales, quats, scale_modifier, normalize_quaternions=False):
+    """(P,3) scales + (P,4) quats -> (P,6) packed world covariance.
+
+    Sigma = R diag(s^2) R^T, packed (xx, xy, xz, yy, yz, zz) exactly as the
+    reference stores it (forward.cu:140-151).
+    """
+    if normalize_quaternions:
+        quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    s = scales * scale_modifier
+    rot = quat_to_rotmat(quats)  # (P,3,3)
+    m = rot * s[:, None, :]      # R @ diag(s)
+    sigma = m @ jnp.swapaxes(m, -1, -2)
+    return jnp.stack(
+        [sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
+         sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]],
+        -1,
+    )
+
+
+def unpack_cov3d(cov6):
+    """(P,6) packed -> (P,3,3) symmetric."""
+    xx, xy, xz, yy, yz, zz = (cov6[:, i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        -2,
+    )
+
+
+def compute_cov2d(means, cov3d_packed, viewmatrix, focal_x, focal_y,
+                  tanfovx, tanfovy, cfg: RasterConfig):
+    """EWA projection of the 3D covariance to screen space.
+
+    Equivalent of ``computeCov2D`` (forward.cu:74-113): view-space point
+    clamped to ``1.3*tanfov``, perspective Jacobian J, cov2D = J W Sigma W^T J^T
+    with the 0.3 low-pass on the diagonal.  Returns (P,3) packed (a, b, c).
+    """
+    t = means @ viewmatrix[:3, :3] + viewmatrix[3, :3]
+    tz = t[:, 2]
+    limx = cfg.fov_clamp * tanfovx
+    limy = cfg.fov_clamp * tanfovy
+    # clip gives exactly the reference's x_grad_mul/y_grad_mul zero-gradient
+    # gate (backward.cu:175-176) under autodiff.
+    tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    # Rows of the 2x3 perspective Jacobian (EWA Splatting eq. 29/31).
+    j0 = jnp.stack([focal_x * inv_tz, jnp.zeros_like(tz), -focal_x * tx * inv_tz2], -1)
+    j1 = jnp.stack([jnp.zeros_like(tz), focal_y * inv_tz, -focal_y * ty * inv_tz2], -1)
+
+    # World-to-view rotation block: rows of the (column-vector) w2c rotation
+    # are columns of our row-convention matrix.
+    w = viewmatrix[:3, :3].T  # (3,3) actual w2c rotation
+    m0 = j0 @ w  # (P,3)
+    m1 = j1 @ w
+
+    sigma = unpack_cov3d(cov3d_packed)  # (P,3,3)
+    s_m0 = jnp.einsum("pij,pj->pi", sigma, m0)
+    s_m1 = jnp.einsum("pij,pj->pi", sigma, m1)
+    a = jnp.einsum("pi,pi->p", m0, s_m0) + cfg.lowpass
+    b = jnp.einsum("pi,pi->p", m0, s_m1)
+    c = jnp.einsum("pi,pi->p", m1, s_m1) + cfg.lowpass
+    return jnp.stack([a, b, c], -1)
+
+
+def ndc2pix(v, size):
+    """auxiliary.h:41-44: ((v + 1) * S - 1) / 2."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def tile_rect(xy, radius, tiles_x, tiles_y, tile_w, tile_h):
+    """Tile-aligned bounding rectangle of a splat (auxiliary.h:46-56)."""
+    rmin_x = jnp.clip(jnp.floor((xy[:, 0] - radius) / tile_w), 0, tiles_x).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((xy[:, 1] - radius) / tile_h), 0, tiles_y).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((xy[:, 0] + radius + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((xy[:, 1] + radius + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
+    return jnp.stack([rmin_x, rmin_y], -1), jnp.stack([rmax_x, rmax_y], -1)
+
+
+def preprocess(
+    means3D,
+    camera: Camera,
+    cfg: RasterConfig,
+    *,
+    opacities,
+    scales=None,
+    rotations=None,
+    cov3D_precomp=None,
+    shs=None,
+    sh_degree: int = 0,
+    colors_precomp=None,
+    scale_modifier: float = 1.0,
+) -> Preprocessed:
+    """Vectorized per-Gaussian preprocessing (forward.cu:156-256)."""
+    view = camera.viewmatrix
+    sg = jax.lax.stop_gradient
+    view_depth = view if cfg.pose_depth_branch else sg(view)
+    view_cov = view if cfg.pose_cov2d_branch else sg(view)
+    view_ndc = view if cfg.pose_ndc_branch else sg(view)
+    cam_ndc = Camera(
+        viewmatrix=view_ndc, tanfovx=camera.tanfovx, tanfovy=camera.tanfovy,
+        height=camera.height, width=camera.width, znear=camera.znear,
+        zfar=camera.zfar,
+    )
+
+    p_view_z = means3D @ view_depth[:3, 2] + view_depth[3, 2]
+    p_view_z_sg = means3D @ sg(view)[:3, 2] + sg(view)[3, 2]
+    visible = p_view_z > cfg.near  # in_frustum, auxiliary.h:154
+
+    _, ndc = cam_ndc.project(means3D, w_eps=cfg.w_eps)
+
+    if cov3D_precomp is not None:
+        cov3d = cov3D_precomp
+    else:
+        cov3d = compute_cov3d(scales, rotations, scale_modifier,
+                              cfg.normalize_quaternions)
+
+    cov2d = compute_cov2d(
+        means3D, cov3d, view_cov, camera.focal_x, camera.focal_y,
+        camera.tanfovx, camera.tanfovy, cfg,
+    )
+    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / safe_det
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], -1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(cfg.eig_clamp, mid * mid - det))
+    radius = jnp.ceil(cfg.radius_sigma * jnp.sqrt(lam))
+
+    xy = jnp.stack(
+        [ndc2pix(ndc[:, 0], camera.width), ndc2pix(ndc[:, 1], camera.height)], -1
+    )
+
+    tiles_x = -(-camera.width // cfg.tile_w)
+    tiles_y = -(-camera.height // cfg.tile_h)
+    rect_min, rect_max = tile_rect(xy, radius, tiles_x, tiles_y,
+                                   cfg.tile_w, cfg.tile_h)
+    ext = rect_max - rect_min
+    tiles_touched = ext[:, 0] * ext[:, 1]
+
+    mask = visible & det_ok & (tiles_touched > 0)
+
+    if colors_precomp is not None:
+        color = colors_precomp
+    else:
+        campos = camera.campos if cfg.pose_sh_branch else sg(camera.campos)
+        color = sh_mod.eval_sh(shs, means3D - campos[None, :], sh_degree)
+
+    tiles_touched = jnp.where(mask, tiles_touched, 0)
+    radius = jnp.where(mask, radius, 0.0).astype(jnp.int32)
+
+    return Preprocessed(
+        mask=mask,
+        depth=p_view_z,
+        depth_sgview=p_view_z_sg,
+        xy=xy,
+        conic=conic,
+        color=color,
+        opacity=jnp.reshape(opacities, (-1,)),
+        radius=radius,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=tiles_touched,
+    )
+
+
+def mark_visible(positions, viewmatrix, near=0.2):
+    """Frustum-culling predicate (``markVisible``/``checkFrustum``,
+    rasterizer_impl.cu:54-66 + auxiliary.h:139-164: near-plane-only test)."""
+    z = positions @ viewmatrix[:3, 2] + viewmatrix[3, 2]
+    return z > near

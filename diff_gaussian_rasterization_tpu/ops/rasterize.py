@@ -1,0 +1,222 @@
+"""The production rasterization op.
+
+Pipeline (mirrors ``Rasterizer::forward``/``backward``,
+light rasterizer_impl.cu:197-495, re-architected for XLA):
+
+  preprocess (pure JAX, autodiff backward)          [forward.cu:156-256]
+  -> bin_gaussians (static-shape sort)               [rasterizer_impl.cu:283-324]
+  -> per-instance gathers (autodiff -> deterministic
+     scatter-add, replacing atomicAdd)
+  -> render core with jax.custom_vjp (Pallas or XLA) [forward.cu:261-412,
+                                                      backward.cu:419-699]
+  -> image assembly + background composite           [forward.cu:406]
+
+Gradient routing notes (all verified against the oracle's autodiff):
+
+- The core's analytic VJP covers only the blend; every other gradient —
+  conic -> cov2D -> cov3D -> scale/rot/mean (computeCov2DCUDA,
+  backward.cu:144-276), mean2D -> NDC -> mean3D & *view matrix*
+  (backward.cu:348-416, 701-751), SH -> mean/campos — is JAX autodiff
+  through ``preprocess``.
+- ``track_off`` / ``map_off`` (reference backward gates,
+  backward.cu:593-696) become ``stop_gradient`` on the view matrix or the
+  Gaussian parameters: in a functional autodiff system the gates are just
+  which leaves you differentiate.
+- Median depth backpropagates into Gaussian means but not the pose, matching
+  the reference's ``mid_once`` rule (backward.cu:654-664); the
+  depth-variance output backpropagates via the reference's backward math
+  even though its forward value is zero (quirk: forward.cu:317,410) — this
+  is realized by exposing ``var - stop_gradient(var)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..config import RasterConfig
+from . import tile_xla
+from .binning import Binned, bin_gaussians, default_max_instances
+from .oracle import RenderOutputs
+from .projection import preprocess
+from .tiling import grid_dims, img_to_tiles, tiles_to_img
+
+
+def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
+               tiles_x: int, capacity: int, tile_batch: int, backend: str):
+    """Build the custom-VJP render core.
+
+    Closure-captured arrays (ranges, ground-truth depth) are constants w.r.t.
+    differentiation, like the reference's saved buffers (ctx.save_for_backward,
+    light __init__.py:104).
+    """
+    if backend == "pallas":
+        from .kernels import render_pallas as impl
+        fwd_impl = impl.core_fwd
+        bwd_impl = impl.core_bwd
+    else:
+        fwd_impl = tile_xla.core_fwd_xla
+        bwd_impl = tile_xla.core_bwd_xla
+    kw = dict(cfg=cfg, tiles_x=tiles_x, capacity=capacity,
+              tile_batch=tile_batch)
+
+    def _primal(xy, conic, opac, color, depth, depth_med, depth_var):
+        del depth_var  # same values as depth; exists for gradient routing
+        return fwd_impl(xy, conic, opac, color, depth, depth_med,
+                        tile_start, tile_stop, gt_tiles, **kw)
+
+    core = jax.custom_vjp(_primal)
+
+    def core_fwd(xy, conic, opac, color, depth, depth_med, depth_var):
+        out = _primal(xy, conic, opac, color, depth, depth_med, depth_var)
+        res = (xy, conic, opac, color, depth,
+               out.color, out.depth, out.weight, out.var, out.t_final)
+        return out, res
+
+    def core_bwd(res, cot):
+        (xy, conic, opac, color, depth,
+         tot_c, tot_d, tot_w, tot_v, t_final) = res
+        zero = jnp.zeros_like(t_final)
+        zero_c = jnp.zeros_like(tot_c)
+
+        def f(x, like):
+            # integer/unused cotangents arrive as float0 or None
+            if x is None or (hasattr(x, "dtype") and x.dtype == jax.dtypes.float0):
+                return like
+            return x
+
+        d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = bwd_impl(
+            xy, conic, opac, color, depth,
+            tile_start, tile_stop, gt_tiles,
+            tot_c, tot_d, tot_w, tot_v, t_final,
+            f(cot.color, zero_c), f(cot.depth, zero), f(cot.weight, zero),
+            f(cot.var, zero), f(cot.median, zero), f(cot.t_final, zero),
+            **kw,
+        )
+        return d_xy, d_conic, d_opac, d_color, d_depth, d_dmed, d_dvar
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def rasterize(
+    means3D,
+    camera: Camera,
+    cfg: RasterConfig = RasterConfig(),
+    *,
+    opacities,
+    scales=None,
+    rotations=None,
+    cov3D_precomp=None,
+    shs=None,
+    sh_degree: int = 0,
+    colors_precomp=None,
+    scale_modifier: float = 1.0,
+    bg=None,
+    gt_depth=None,
+    track_off: bool = False,
+    map_off: bool = False,
+    max_instances=None,
+    tile_batch: int = 64,
+    backend=None,
+) -> RenderOutputs:
+    """Render Gaussians; differentiable w.r.t. all parameters and the pose.
+
+    Equivalent surface to the light variant's ``rasterize_gaussians``
+    (light __init__.py:21-46) with ``track_off``/``map_off`` realized as
+    stop-gradients (reference: backward gates at backward.cu:593-696).
+    """
+    h, w = camera.height, camera.width
+    dtype = means3D.dtype
+    sg = jax.lax.stop_gradient
+    if bg is None:
+        bg = jnp.zeros((3,), dtype)
+    if gt_depth is None:
+        gt_depth = jnp.zeros((h, w), dtype)
+    gt_depth = sg(gt_depth.reshape(h, w))
+
+    if track_off:
+        camera = Camera(
+            viewmatrix=sg(camera.viewmatrix), tanfovx=camera.tanfovx,
+            tanfovy=camera.tanfovy, height=h, width=w,
+            znear=camera.znear, zfar=camera.zfar,
+        )
+    if map_off:
+        means3D = sg(means3D)
+        opacities = sg(opacities)
+        scales = None if scales is None else sg(scales)
+        rotations = None if rotations is None else sg(rotations)
+        cov3D_precomp = None if cov3D_precomp is None else sg(cov3D_precomp)
+        shs = None if shs is None else sg(shs)
+        colors_precomp = (
+            None if colors_precomp is None else sg(colors_precomp)
+        )
+
+    prep = preprocess(
+        means3D, camera, cfg,
+        opacities=opacities, scales=scales, rotations=rotations,
+        cov3D_precomp=cov3D_precomp, shs=shs, sh_degree=sh_degree,
+        colors_precomp=colors_precomp, scale_modifier=scale_modifier,
+    )
+
+    tiles_x, tiles_y = grid_dims(h, w, cfg.tile_h, cfg.tile_w)
+    p = means3D.shape[0]
+    if max_instances is None:
+        max_instances = cfg.max_instances or default_max_instances(
+            p, cfg.instance_multiplier
+        )
+    binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances)
+
+    ids = binn.gauss_id
+    inst_xy = prep.xy[ids]
+    inst_conic = prep.conic[ids]
+    inst_opac = prep.opacity[ids]
+    inst_color = prep.color[ids]
+    inst_depth = prep.depth[ids]
+    inst_depth_med = prep.depth_sgview[ids]
+
+    gt_tiles = img_to_tiles(gt_depth, cfg.tile_h, cfg.tile_w)
+
+    backend = backend or cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform in ("tpu", "axon") \
+            else "xla"
+
+    core = _make_core(
+        binn.tile_start, binn.tile_stop, gt_tiles,
+        cfg=cfg, tiles_x=tiles_x, capacity=max_instances,
+        tile_batch=tile_batch, backend=backend,
+    )
+    out = core(inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
+               inst_depth_med, inst_depth_med)
+
+    color_tiles = out.color + out.t_final[:, None, :] * bg[None, :, None]
+    color_img = tiles_to_img(
+        jnp.moveaxis(color_tiles, 1, 0), h, w, cfg.tile_h, cfg.tile_w
+    )
+    to_img = lambda x: tiles_to_img(x, h, w, cfg.tile_h, cfg.tile_w)
+
+    var_tiles = out.var
+    if cfg.ref_depth_var:
+        # value 0 like the reference forward; gradient flows like its backward
+        var_tiles = var_tiles - sg(var_tiles)
+
+    u_inst = sg(out.u_inst)
+    gau_u = jnp.zeros((p,), dtype).at[ids].add(u_inst)
+    gau_npix = jnp.zeros((p,), jnp.int32).at[ids].add(out.npix_inst)
+
+    return RenderOutputs(
+        color=color_img,
+        radii=prep.radius,
+        depth=to_img(out.depth)[None],
+        depth_median=to_img(out.median)[None],
+        depth_var=to_img(var_tiles)[None],
+        opacity_map=to_img(out.weight)[None],
+        gau_uncertainty=gau_u[:, None],
+        gau_related_pixels=gau_npix[:, None],
+        n_contrib=to_img(out.n_contrib),
+        n_valid=to_img(out.n_valid),
+        num_rendered=binn.num_rendered,
+        overflow=binn.overflow,
+    )

@@ -1,0 +1,242 @@
+"""XLA tile-render backend (no Pallas): dense masked math over tile batches.
+
+Functionally identical to the Pallas kernels in ``kernels/`` and used as the
+CPU-testable fallback.  Replaces the reference's render kernels
+(forward.cu:261-412, backward.cu:419-699) with batched vector math built on
+``ops.blend``; per-Gaussian gradients accumulate into per-instance rows via
+deterministic scatter-add (instead of float atomics).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RasterConfig
+from . import blend
+
+
+class CoreOutputs(NamedTuple):
+    """Tile-major render-core outputs.
+
+    ``color`` excludes the background composite (applied by the caller from
+    ``t_final``, mirroring forward.cu:406 ``C[ch] + T * bg``); ``var`` is the
+    true accumulated sum w*(d-gt)^2 — the caller zeroes it for reference
+    parity (the reference forward never fills it, forward.cu:317,410).
+    """
+
+    color: jnp.ndarray     # [T, C, Q]
+    depth: jnp.ndarray     # [T, Q]
+    weight: jnp.ndarray    # [T, Q]  (silhouette / out_alpha)
+    median: jnp.ndarray    # [T, Q]
+    var: jnp.ndarray       # [T, Q]
+    t_final: jnp.ndarray   # [T, Q]
+    n_contrib: jnp.ndarray  # [T, Q] int32
+    n_valid: jnp.ndarray   # [T, Q] int32
+    u_inst: jnp.ndarray    # [I]
+    npix_inst: jnp.ndarray  # [I] int32
+
+
+def _pixel_coords(tidx, tiles_x: int, th: int, tw: int, dtype):
+    q = jnp.arange(th * tw)
+    qx = (q % tw).astype(dtype)
+    qy = (q // tw).astype(dtype)
+    tx = (tidx % tiles_x).astype(dtype)
+    ty = (tidx // tiles_x).astype(dtype)
+    px = tx[:, None] * tw + qx[None, :]
+    py = ty[:, None] * th + qy[None, :]
+    return px, py
+
+
+def _pad_tiles(arrs, t, tile_batch):
+    nb = -(-t // tile_batch)
+    tpad = nb * tile_batch
+    return nb, tpad, [
+        jnp.pad(a, [(0, tpad - t)] + [(0, 0)] * (a.ndim - 1)) for a in arrs
+    ]
+
+
+def core_fwd_xla(
+    xy, conic, opac, color, depth, depth_med,
+    tile_start, tile_stop, gt_tiles,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int, tile_batch: int = 64,
+) -> CoreOutputs:
+    i_total = xy.shape[0]
+    t = tile_start.shape[0]
+    q = cfg.tile_px
+    g = min(cfg.chunk, capacity)
+    n_chunks = -(-capacity // g)
+    dtype = xy.dtype
+    channels = color.shape[1]
+
+    nb, tpad, (starts, stops, gt_p, tidx) = _pad_tiles(
+        [tile_start, tile_stop, gt_tiles,
+         jnp.arange(t, dtype=jnp.int32)], t, tile_batch,
+    )
+
+    def blend_fn(carry, axy, aconic, aopac, acolor, adepth, admed, v,
+                 px, py, gt, base):
+        return blend.blend_chunk_fwd(
+            carry, axy, aconic, aopac, acolor, adepth, admed, v,
+            px, py, gt, base, cfg,
+        )
+
+    vblend = jax.vmap(
+        blend_fn, in_axes=(0,) * 11 + (None,), out_axes=(0, 0, 0)
+    )
+
+    def batch_body(acc, args):
+        u_acc, np_acc = acc
+        start, stop, gt_t, ti = args
+        tb = start.shape[0]
+        px, py = _pixel_coords(ti, tiles_x, cfg.tile_h, cfg.tile_w, dtype)
+        z = jnp.zeros((tb, q), dtype)
+        carry0 = blend.BlendCarry(
+            prod=jnp.ones((tb, q), dtype), t_final=jnp.ones((tb, q), dtype),
+            color=jnp.zeros((tb, channels, q), dtype), depth=z, weight=z,
+            median=z, var=z,
+            n_contrib=jnp.zeros((tb, q), jnp.int32),
+            n_valid=jnp.zeros((tb, q), jnp.int32),
+        )
+        maxcnt = jnp.max(stop - start)
+
+        def chunk_body(state, k0):
+            carry, u_a, np_a = state
+
+            def do(operand):
+                carry, u_a, np_a = operand
+                idx = start[:, None] + k0 + jnp.arange(g, dtype=jnp.int32)[None]
+                v = idx < stop[:, None]
+                idxc = jnp.clip(idx, 0, i_total - 1)
+                new_carry, u_rows, np_rows = vblend(
+                    carry, xy[idxc], conic[idxc], opac[idxc], color[idxc],
+                    depth[idxc], depth_med[idxc], v, px, py, gt_t, k0,
+                )
+                return (
+                    new_carry,
+                    u_a.at[idxc].add(u_rows),
+                    np_a.at[idxc].add(np_rows),
+                )
+
+            active = (k0 < maxcnt) & jnp.any(carry.prod >= cfg.t_terminate)
+            state2 = jax.lax.cond(active, do, lambda s: s, (carry, u_a, np_a))
+            return state2, None
+
+        (carry, u_acc, np_acc), _ = jax.lax.scan(
+            chunk_body, (carry0, u_acc, np_acc),
+            jnp.arange(n_chunks, dtype=jnp.int32) * g,
+        )
+        ys = (carry.color, carry.depth, carry.weight, carry.median,
+              carry.var, carry.t_final, carry.n_contrib, carry.n_valid)
+        return (u_acc, np_acc), ys
+
+    (u_inst, npix_inst), ys = jax.lax.scan(
+        batch_body,
+        (jnp.zeros((i_total,), dtype), jnp.zeros((i_total,), jnp.int32)),
+        tuple(a.reshape(nb, tile_batch, *a.shape[1:])
+              for a in (starts, stops, gt_p, tidx)),
+    )
+
+    def unbatch(x):
+        return x.reshape(tpad, *x.shape[2:])[:t]
+
+    return CoreOutputs(*(unbatch(y) for y in ys), u_inst, npix_inst)
+
+
+def core_bwd_xla(
+    xy, conic, opac, color, depth,
+    tile_start, tile_stop, gt_tiles,
+    # forward totals (tile-major)
+    tot_c, tot_d, tot_w, tot_v, t_final,
+    # incoming cotangents (tile-major)
+    dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int, tile_batch: int = 64,
+):
+    """Analytic backward: per-instance gradient rows via scatter-add.
+
+    Returns (d_xy [I,2], d_conic [I,3], d_opac [I], d_color [I,C],
+    d_depth [I], d_depth_var [I], d_depth_med [I]).
+    """
+    i_total = xy.shape[0]
+    t = tile_start.shape[0]
+    q = cfg.tile_px
+    g = min(cfg.chunk, capacity)
+    n_chunks = -(-capacity // g)
+    dtype = xy.dtype
+    channels = color.shape[1]
+
+    # fold dL_dtf and the (caller-supplied) t_final bg-term together; the
+    # reference's background term (backward.cu:620-623) arrives here as the
+    # cotangent of the t_final output.
+    nb, tpad, padded = _pad_tiles(
+        [tile_start, tile_stop, gt_tiles, jnp.arange(t, dtype=jnp.int32),
+         tot_c, tot_d, tot_w, tot_v, t_final,
+         dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf],
+        t, tile_batch,
+    )
+    (starts, stops, gt_p, tidx, tot_c, tot_d, tot_w, tot_v, t_final,
+     dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf) = padded
+
+    def blend_fn(carry, axy, aconic, aopac, acolor, adepth, v, px, py, gt,
+                 tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf):
+        return blend.blend_chunk_bwd(
+            carry, axy, aconic, aopac, acolor, adepth, v, px, py, gt,
+            tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf, cfg,
+        )
+
+    vblend = jax.vmap(blend_fn)
+
+    zeros = lambda *shape: jnp.zeros(shape, dtype)
+    acc0 = (zeros(i_total, 2), zeros(i_total, 3), zeros(i_total),
+            zeros(i_total, channels), zeros(i_total), zeros(i_total),
+            zeros(i_total))
+
+    def batch_body(acc, args):
+        (start, stop, gt_t, ti, tc, td, tw_, tv, tf,
+         dc, dd, dw, dv, dm, dtf) = args
+        tb = start.shape[0]
+        px, py = _pixel_coords(ti, tiles_x, cfg.tile_h, cfg.tile_w, dtype)
+        carry0 = blend.BlendBwdCarry(
+            prod=jnp.ones((tb, q), dtype),
+            pre_c=jnp.zeros((tb, channels, q), dtype),
+            pre_d=jnp.zeros((tb, q), dtype),
+            pre_w=jnp.zeros((tb, q), dtype),
+            pre_v=jnp.zeros((tb, q), dtype),
+        )
+        maxcnt = jnp.max(stop - start)
+
+        def chunk_body(state, k0):
+            carry, acc = state
+
+            def do(operand):
+                carry, acc = operand
+                idx = start[:, None] + k0 + jnp.arange(g, dtype=jnp.int32)[None]
+                v = idx < stop[:, None]
+                idxc = jnp.clip(idx, 0, i_total - 1)
+                new_carry, rows = vblend(
+                    carry, xy[idxc], conic[idxc], opac[idxc], color[idxc],
+                    depth[idxc], v, px, py, gt_t,
+                    tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf,
+                )
+                new_acc = tuple(a.at[idxc].add(r) for a, r in zip(acc, rows))
+                return new_carry, new_acc
+
+            active = (k0 < maxcnt) & jnp.any(carry.prod >= cfg.t_terminate)
+            state2 = jax.lax.cond(active, do, lambda s: s, (carry, acc))
+            return state2, None
+
+        (carry, acc), _ = jax.lax.scan(
+            chunk_body, (carry0, acc),
+            jnp.arange(n_chunks, dtype=jnp.int32) * g,
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        batch_body, acc0,
+        tuple(a.reshape(nb, tile_batch, *a.shape[1:]) for a in
+              (starts, stops, gt_p, tidx, tot_c, tot_d, tot_w, tot_v,
+               t_final, dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf)),
+    )
+    return acc
