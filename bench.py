@@ -1,0 +1,95 @@
+"""Benchmark: fwd+bwd differentiable rasterizations/sec at 1200x680.
+
+Metric of record (BASELINE.json): forward+backward rasterizations per second
+per chip at 1200x680.  The reference publishes no numbers (BASELINE.md); the
+baseline constant below is the commonly observed fwd+bwd rate of the
+reference CUDA rasterizer class (3DGS tile rasterizer, ~100k visible
+Gaussians, 1200x680) on an RTX-3090-class GPU: ~100 it/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+import timeit
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_gaussian_rasterization_tpu.camera import Camera
+from diff_gaussian_rasterization_tpu.config import RasterConfig
+from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
+
+CUDA_BASELINE_FWD_BWD_PER_S = 100.0
+
+H, W = 680, 1200
+P = 100_000
+
+
+def make_scene(seed=0):
+    rng = np.random.RandomState(seed)
+    means = rng.uniform(-2, 2, (P, 3))
+    means[:, 2] = rng.uniform(0.8, 6.0, P)
+    quats = rng.normal(size=(P, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    return dict(
+        means3D=jnp.asarray(means, jnp.float32),
+        scales=jnp.asarray(np.exp(rng.uniform(np.log(0.01), np.log(0.05),
+                                              (P, 3))), jnp.float32),
+        rotations=jnp.asarray(quats, jnp.float32),
+        opacities=jnp.asarray(rng.uniform(0.2, 0.95, (P, 1)), jnp.float32),
+        colors_precomp=jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32),
+        bg=jnp.zeros(3, jnp.float32),
+        gt_depth=jnp.asarray(rng.uniform(0.8, 6, (H, W)), jnp.float32),
+    )
+
+
+def main():
+    platform = jax.devices()[0].platform
+    backend = "pallas" if platform in ("tpu", "axon") else "xla"
+    cfg = RasterConfig(tile_h=8, tile_w=128, chunk=64,
+                       instance_multiplier=6)
+    scene = make_scene()
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    view = jnp.eye(4, dtype=jnp.float32)
+    cam = lambda v: Camera(viewmatrix=v, tanfovx=0.82, tanfovy=0.47,
+                           height=H, width=W)
+
+    def loss(means, v):
+        out = rasterize(means, cam(v), cfg, backend=backend, **kw)
+        return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                + 0.1 * jnp.sum(out.depth_median)
+                + 0.1 * jnp.sum(out.opacity_map))
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    # sanity + compile
+    out = rasterize(scene["means3D"], cam(view), cfg, backend=backend, **kw)
+    assert not bool(out.overflow), "instance budget overflow in bench scene"
+    g = step(scene["means3D"], view)
+    jax.block_until_ready(g)
+
+    run = lambda: jax.block_until_ready(step(scene["means3D"], view)[0])
+    run()
+    n = 20
+    t = timeit.timeit(run, number=n) / n
+    value = 1.0 / t
+    print(json.dumps({
+        "metric": "fwd_bwd_rasterizations_per_sec_1200x680",
+        "value": round(value, 3),
+        "unit": "renders/s",
+        "vs_baseline": round(value / CUDA_BASELINE_FWD_BWD_PER_S, 3),
+        "backend": backend,
+        "platform": platform,
+        "gaussians": P,
+        "ms_per_fwd_bwd": round(t * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

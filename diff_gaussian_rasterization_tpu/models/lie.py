@@ -1,0 +1,82 @@
+"""SE(3) utilities for pose optimization.
+
+The reference optimizes the 12 derivative-carrying entries of the 4x4
+world-to-camera matrix directly (grad_viewmatrix, light __init__.py:160-176),
+which drifts off the SE(3) manifold.  We support that mode for parity and a
+better-conditioned retraction: parametrize the pose update as a twist
+``xi in R^6`` applied to a base pose, ``w2c(xi) = exp(xi^) @ w2c_0``, and
+optimize ``xi`` — gradients flow through ``exp`` by autodiff.
+
+All public functions speak the row-vector convention used across this
+package (matrices are transposed w2c transforms; see camera.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def hat(w):
+    """(..., 3) -> (..., 3, 3) skew-symmetric."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zeros = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -wz, wy], -1),
+            jnp.stack([wz, zeros, -wx], -1),
+            jnp.stack([-wy, wx, zeros], -1),
+        ],
+        -2,
+    )
+
+
+def exp_so3(w):
+    """Rodrigues: (3,) rotation vector -> (3,3) rotation matrix."""
+    theta = jnp.linalg.norm(w)
+    # Taylor-safe coefficients
+    small = theta < 1e-6
+    t2 = theta * theta
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    b = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    k = hat(w)
+    return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
+
+
+def exp_se3(xi):
+    """(6,) twist (v, w) -> (4,4) rigid transform (column-vector convention)."""
+    v, w = xi[:3], xi[3:]
+    theta = jnp.linalg.norm(w)
+    small = theta < 1e-6
+    t2 = theta * theta
+    k = hat(w)
+    rot = exp_so3(w)
+    b = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, t2 * theta))
+    vmat = jnp.eye(3, dtype=xi.dtype) + b * k + c * (k @ k)
+    m = jnp.eye(4, dtype=xi.dtype)
+    m = m.at[:3, :3].set(rot)
+    m = m.at[:3, 3].set(vmat @ v)
+    return m
+
+
+def apply_twist(viewmatrix, xi):
+    """Left-apply a twist to a row-convention view matrix.
+
+    ``w2c' = exp(xi) @ w2c``  =>  ``V' = V @ exp(xi)^T``.
+    """
+    return viewmatrix @ exp_se3(xi).T
+
+
+def orthonormalize_view(viewmatrix):
+    """Project the rotation block of a row-convention view matrix back onto
+    SO(3) (for direct-matrix optimization, which drifts off the manifold)."""
+    r = viewmatrix[:3, :3].T  # actual w2c rotation
+    u, _, vt = jnp.linalg.svd(r)
+    det = jnp.linalg.det(u @ vt)
+    r_on = u @ jnp.diag(jnp.array([1.0, 1.0, det], viewmatrix.dtype)) @ vt
+    out = viewmatrix.at[:3, :3].set(r_on.T)
+    return out

@@ -1,0 +1,227 @@
+"""CG-SLAM-style tracking and mapping loops on the TPU rasterizer.
+
+The reference documents (README.md:60-83) but does not ship this layer: a
+``render`` wrapper called with ``track_off``/``map_off`` flags by a tracking
+loop (pose-only gradients) and a mapping loop (Gaussian-only gradients).
+Here both loops are pure JAX functions:
+
+- **Tracking** (reference call stack §3.3): optimize a 6-DoF twist around the
+  previous pose by gradient descent on an uncertainty-gated color+depth
+  objective, with ``map_off=True`` (Gaussian parameters frozen via
+  stop_gradient).  The reference's 12-element ``grad_viewmatrix`` is replaced
+  by the better-conditioned SE(3) retraction (direct-matrix mode remains
+  available through ``rasterize`` itself).
+- **Mapping** (§3.4): Adam on the Gaussian parameters over a window of
+  keyframes with ``track_off=True``, 3DGS densify/split/prune driven by the
+  screen-gradient statistics, plus CG-SLAM's uncertainty-aware pruning from
+  the per-Gaussian ``gau_uncertainty``/``gau_related_pixels`` outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..camera import Camera
+from ..config import RasterConfig
+from ..ops.rasterize import rasterize
+from . import lie
+from .gaussians import DensifyState, GaussianModel, densify_and_prune
+
+
+class Frame(NamedTuple):
+    rgb: Any    # (3, H, W) in [0, 1]
+    depth: Any  # (H, W) metric depth; 0 = invalid
+
+
+def render_model(model: GaussianModel, camera: Camera, cfg: RasterConfig,
+                 gt_depth=None, means2D=None, **kw):
+    return rasterize(
+        model.means3D, camera, cfg, gt_depth=gt_depth, means2D=means2D,
+        **model.raster_kwargs(), **kw,
+    )
+
+
+def rgbd_loss(out, frame: Frame, w_color: float = 1.0, w_depth: float = 0.5,
+              sil_threshold: float = 0.99, tracking: bool = False):
+    """L1 color + masked L1 depth.
+
+    For tracking, loss is restricted to well-reconstructed pixels
+    (silhouette > threshold) so unmapped regions don't drag the pose —
+    the role of CG-SLAM's uncertainty gating.
+    """
+    depth_valid = frame.depth > 0
+    if tracking:
+        sil = jax.lax.stop_gradient(out.opacity_map[0]) > sil_threshold
+        depth_valid = depth_valid & sil
+        color_mask = sil[None].astype(out.color.dtype)
+    else:
+        color_mask = jnp.ones((1, 1, 1), out.color.dtype)
+    nc = jnp.maximum(jnp.sum(color_mask) * 3, 1.0) if tracking \
+        else out.color.size
+    l_color = jnp.sum(jnp.abs(out.color - frame.rgb) * color_mask) / nc
+    nd = jnp.maximum(jnp.sum(depth_valid), 1)
+    l_depth = jnp.sum(
+        jnp.abs(out.depth[0] - frame.depth) * depth_valid
+    ) / nd
+    return w_color * l_color + w_depth * l_depth
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    iters: int = 30
+    lr: float = 2e-3
+    w_color: float = 0.5
+    w_depth: float = 1.0
+    sil_threshold: float = 0.99
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "height", "width",
+                                             "tanfovx", "tanfovy"))
+def _track_jit(model, view0, rgb, depth, cfg: RasterConfig,
+               tcfg: TrackingConfig, height, width, tanfovx, tanfovy):
+    frame = Frame(rgb, depth)
+    opt = optax.adam(tcfg.lr)
+
+    def loss_fn(xi):
+        view = lie.apply_twist(view0, xi)
+        cam = Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
+                     height=height, width=width)
+        out = render_model(model, cam, cfg, gt_depth=depth, map_off=True)
+        return rgbd_loss(out, frame, tcfg.w_color, tcfg.w_depth,
+                         tcfg.sil_threshold, tracking=True)
+
+    def step(carry, _):
+        xi, opt_state, best_xi, best_loss = carry
+        loss, g = jax.value_and_grad(loss_fn)(xi)
+        updates, opt_state = opt.update(g, opt_state)
+        better = loss < best_loss
+        best_xi = jnp.where(better, xi, best_xi)
+        best_loss = jnp.where(better, loss, best_loss)
+        xi = optax.apply_updates(xi, updates)
+        return (xi, opt_state, best_xi, best_loss), loss
+
+    xi0 = jnp.zeros((6,), view0.dtype)
+    init = (xi0, opt.init(xi0), xi0, jnp.asarray(jnp.inf, view0.dtype))
+    (xi, _, best_xi, best_loss), losses = jax.lax.scan(
+        step, init, None, length=tcfg.iters)
+    final_loss = loss_fn(xi)
+    better = final_loss < best_loss
+    best_xi = jnp.where(better, xi, best_xi)
+    best_loss = jnp.where(better, final_loss, best_loss)
+    return lie.apply_twist(view0, best_xi), best_loss, losses
+
+
+def track_frame(model: GaussianModel, view0, frame: Frame,
+                cfg: RasterConfig, tcfg: TrackingConfig,
+                camera_template: Camera):
+    """Pose-only optimization for one frame (reference §3.3 tracking step)."""
+    return _track_jit(
+        model, view0, frame.rgb, frame.depth, cfg, tcfg,
+        camera_template.height, camera_template.width,
+        camera_template.tanfovx, camera_template.tanfovy,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    iters: int = 40
+    lr_means: float = 1e-4
+    lr_scales: float = 5e-3
+    lr_rotations: float = 1e-3
+    lr_opacities: float = 5e-2
+    lr_sh: float = 2.5e-3
+    w_color: float = 1.0
+    w_depth: float = 0.5
+    densify_grad_threshold: float = 2e-4
+    uncertainty_prune: float = 0.0  # 0 disables
+
+
+PARAM_FIELDS = ("means3D", "scales_log", "rotations", "opacities_logit",
+                "sh")
+
+
+def model_params(model: GaussianModel) -> dict:
+    """The differentiable leaves of the model (excludes the active mask)."""
+    return {k: getattr(model, k) for k in PARAM_FIELDS}
+
+
+def make_map_optimizer(mcfg: MappingConfig):
+    """Per-leaf learning rates like 3DGS's grouped Adam."""
+    return optax.multi_transform(
+        {
+            "means3D": optax.adam(mcfg.lr_means),
+            "scales_log": optax.adam(mcfg.lr_scales),
+            "rotations": optax.adam(mcfg.lr_rotations),
+            "opacities_logit": optax.adam(mcfg.lr_opacities),
+            "sh": optax.adam(mcfg.lr_sh),
+        },
+        {k: k for k in PARAM_FIELDS},
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "height", "width",
+                                             "tanfovx", "tanfovy", "n_frames"))
+def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
+             views, rgbs, depths, cfg: RasterConfig, mcfg: MappingConfig,
+             height, width, tanfovx, tanfovy, n_frames: int):
+    """One mapping gradient step over a window of keyframes
+    (reference §3.4 mapping step; multi-frame sum like CG-SLAM's mapper)."""
+    opt = make_map_optimizer(mcfg)
+
+    def loss_fn(params, means2d):
+        m = model.replace(**params)
+        total = 0.0
+        out = None
+        for i in range(n_frames):
+            cam = Camera(viewmatrix=views[i], tanfovx=tanfovx,
+                         tanfovy=tanfovy, height=height, width=width)
+            out = render_model(m, cam, cfg, gt_depth=depths[i],
+                               means2D=means2d, track_off=True)
+            total = total + rgbd_loss(
+                out, Frame(rgbs[i], depths[i]), mcfg.w_color, mcfg.w_depth)
+        return total / n_frames, out
+
+    params = model_params(model)
+    zeros2d = jnp.zeros_like(model.means3D[:, :2])
+    (loss, out), (grads, g2d) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    model = model.replace(**params)
+    # densification statistics: NDC-units screen gradient, the analogue of
+    # the reference's grad_means2D output (backward.cu:668-670)
+    dstate = dstate.update(g2d, visible=out.radii > 0)
+    return model, opt_state, dstate, loss, out
+
+
+def mapping_round(model, opt_state, dstate, keyframes, cfg, mcfg, cam_t,
+                  rng, densify_every: int = 0):
+    """Run mcfg.iters map steps over the keyframe window; optionally densify.
+
+    keyframes: (views [K,4,4], rgbs [K,3,H,W], depths [K,H,W]).
+    Python-level loop (streaming SLAM); each step is jitted.
+    """
+    views, rgbs, depths = keyframes
+    n = views.shape[0]
+    loss = out = None
+    for it in range(mcfg.iters):
+        model, opt_state, dstate, loss, out = map_step(
+            model, opt_state, dstate, views, rgbs, depths, cfg, mcfg,
+            cam_t.height, cam_t.width, cam_t.tanfovx, cam_t.tanfovy, n,
+        )
+        if densify_every and (it + 1) % densify_every == 0:
+            model, dstate, _ = densify_and_prune(
+                model, dstate,
+                grad_threshold=mcfg.densify_grad_threshold, rng=rng)
+    if mcfg.uncertainty_prune > 0:
+        from .gaussians import prune_by_uncertainty
+        model = prune_by_uncertainty(
+            model, out.gau_uncertainty, out.gau_related_pixels,
+            mcfg.uncertainty_prune)
+    return model, opt_state, dstate, loss

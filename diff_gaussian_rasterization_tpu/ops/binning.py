@@ -42,8 +42,18 @@ class Binned(NamedTuple):
     overflow: jnp.ndarray    # scalar bool
 
 
+INSTANCE_ALIGN = 128  # matches the Pallas kernels' DMA block (render_pallas.BLOCK)
+
+
+def aligned_size(max_instances: int, num_tiles: int, align: int) -> int:
+    """Static instance-array length when per-tile segments are align-padded."""
+    if align <= 1:
+        return max_instances
+    return max_instances + align * num_tiles
+
+
 def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
-                  max_instances: int) -> Binned:
+                  max_instances: int, align: int = 1) -> Binned:
     p = prep.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
     tt = prep.tiles_touched.astype(jnp.int32)
@@ -78,6 +88,33 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
     t = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_s, t, side="left").astype(jnp.int32)
     tile_stop = jnp.searchsorted(tile_s, t, side="right").astype(jnp.int32)
+
+    if align > 1:
+        # Re-lay the sorted stream so every tile's segment starts at a
+        # multiple of `align` (TPU DMA blocks are (align, features) tiles;
+        # HBM lane tiling forbids unaligned dynamic slices).  Gaps between a
+        # tile's stop and the next aligned start are never read.
+        counts = tile_stop - tile_start
+        padded = -(-counts // align) * align
+        astart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+        i_al = aligned_size(max_instances, num_tiles, align)
+        tclip = jnp.clip(tile_s, 0, num_tiles - 1)
+        rank = i - tile_start[tclip]
+        ok = valid_s & (tile_s < num_tiles)
+        newpos = jnp.where(ok, astart[tclip] + rank, i_al)
+        g_al = jnp.zeros((i_al,), jnp.int32).at[newpos].set(g_s, mode="drop")
+        v_al = jnp.zeros((i_al,), bool).at[newpos].set(valid_s, mode="drop")
+        t_al = jnp.full((i_al,), num_tiles, jnp.int32).at[newpos].set(
+            tile_s, mode="drop")
+        return Binned(
+            gauss_id=g_al,
+            tile_id=t_al,
+            valid=v_al,
+            tile_start=astart,
+            tile_stop=astart + counts,
+            num_rendered=total,
+            overflow=total > max_instances,
+        )
 
     return Binned(
         gauss_id=g_s,

@@ -109,6 +109,9 @@ class BlendCarry(NamedTuple):
     var: jnp.ndarray       # accumulated sum w * (depth - gt)^2
     n_contrib: jnp.ndarray  # int32, 1-based global index of last contributor
     n_valid: jnp.ndarray   # int32, number of contributors
+    midx: jnp.ndarray      # int32, global instance index of the median
+                           # crossing (-1 if none yet)
+    ucross: jnp.ndarray    # (d-gt)^2 * alpha * T at the crossing (per pixel)
 
 
 def init_carry(q: int, channels: int = 3, dtype=jnp.float32) -> BlendCarry:
@@ -123,6 +126,8 @@ def init_carry(q: int, channels: int = 3, dtype=jnp.float32) -> BlendCarry:
         var=z,
         n_contrib=jnp.zeros((q,), jnp.int32),
         n_valid=jnp.zeros((q,), jnp.int32),
+        midx=jnp.full((q,), -1, jnp.int32),
+        ucross=jnp.zeros((q,), dtype),
     )
 
 
@@ -132,6 +137,8 @@ def blend_chunk_fwd(
     px, py, gt,
     base_index: jnp.ndarray,
     cfg: RasterConfig,
+    depth_var=None,
+    global_base=None,
 ):
     """Blend one front-to-back chunk of instances into the carry.
 
@@ -151,7 +158,9 @@ def blend_chunk_fwd(
     v = (valid if valid.ndim == 2 else valid[:, None]) & ok
     a_eff = jnp.where(v, 1.0 - alpha, 1.0)
     p_incl = carry.prod[None, :] * cumprod_incl(a_eff)           # [G, Q]
-    t_excl = jnp.concatenate([carry.prod[None, :], p_incl[:-1]], axis=0)
+    t_excl = jnp.concatenate(
+        [carry.prod[None, :], jax.lax.slice_in_dim(p_incl, 0, p_incl.shape[0] - 1, axis=0)], axis=0
+    )
     contrib = v & (p_incl >= cfg.t_terminate)
     w = jnp.where(contrib, alpha * t_excl, 0.0)                   # [G, Q]
 
@@ -159,13 +168,24 @@ def blend_chunk_fwd(
     crossf = cross.astype(w.dtype)
 
     g = xy.shape[0]
-    idx = base_index + 1 + jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    idx = base_index + 1 + gi
+    gidx = (base_index if global_base is None else global_base) + gi
 
-    du = depth[:, None] - gt[None, :]
-    u_rows = crossf * w * du * du                                  # [G, Q]
+    # The depth-variance (and uncertainty) value path may use a separately
+    # gradient-routed copy of the depths: the reference backprops the
+    # 2(d-gt) w term into Gaussian means but NOT into the pose
+    # (backward.cu:611 feeds dL_ddepths -> preprocess mean path only).
+    d_for_var = depth if depth_var is None else depth_var
+    du = d_for_var[:, None] - gt[None, :]
+    var_rows = w * du * du            # depth variance: every contributor
+    u_rows = crossf * var_rows        # per-Gaussian uncertainty: only the
+    # median-crossing contributor (forward.cu:386-387)
 
+    last = p_incl.shape[0] - 1  # static index (negative indexing does not
+    # lower on Pallas TPU)
     new_carry = BlendCarry(
-        prod=p_incl[-1],
+        prod=p_incl[last],
         t_final=jnp.minimum(
             carry.t_final, jnp.min(jnp.where(contrib, p_incl, 1.0), axis=0)
         ),
@@ -175,12 +195,17 @@ def blend_chunk_fwd(
         depth=carry.depth + jnp.sum(w * depth[:, None], axis=0),
         weight=carry.weight + jnp.sum(w, axis=0),
         median=carry.median + jnp.sum(crossf * depth_med[:, None], axis=0),
-        var=carry.var + jnp.sum(u_rows, axis=0),
+        var=carry.var + jnp.sum(var_rows, axis=0),
         n_contrib=jnp.maximum(
             carry.n_contrib,
             jnp.max(jnp.where(contrib, idx, 0), axis=0).astype(jnp.int32),
         ),
         n_valid=carry.n_valid + jnp.sum(contrib, axis=0).astype(jnp.int32),
+        midx=jnp.maximum(
+            carry.midx,
+            jnp.max(jnp.where(cross, gidx, -1), axis=0).astype(jnp.int32),
+        ),
+        ucross=carry.ucross + jnp.sum(u_rows, axis=0),
     )
     u_inst = jnp.sum(u_rows, axis=1)
     npix_inst = jnp.sum(cross, axis=1).astype(jnp.int32)
@@ -237,7 +262,9 @@ def blend_chunk_bwd(
 
     a_eff = jnp.where(v, 1.0 - alpha, 1.0)
     p_incl = carry.prod[None, :] * cumprod_incl(a_eff)
-    t_excl = jnp.concatenate([carry.prod[None, :], p_incl[:-1]], axis=0)
+    t_excl = jnp.concatenate(
+        [carry.prod[None, :], jax.lax.slice_in_dim(p_incl, 0, p_incl.shape[0] - 1, axis=0)], axis=0
+    )
     contrib = v & (p_incl >= cfg.t_terminate)
     contribf = contrib.astype(g.dtype)
     w = contribf * alpha * t_excl
@@ -258,10 +285,13 @@ def blend_chunk_bwd(
     # dL/dalpha_i, multiplied by T_i, with strict-suffix sums S = tot - prefix.
     # Color channels: sum_ch dL_dc_ch * (T c_ch - S_ch/(1-a))
     suf_c = tot_c[None] - pre_c                             # [G, C, Q]
-    d_alpha = jnp.einsum(
-        "cq,gcq->gq", dL_dc,
-        t_excl[:, None, :] * color[:, :, None] - suf_c * inv_oma[:, None, :],
-        preferred_element_type=g.dtype,
+    # channel contraction as multiply+reduce (a [G,C,Q]x[C,Q] batched matmul
+    # does not lower on Mosaic)
+    d_alpha = jnp.sum(
+        dL_dc[None]
+        * (t_excl[:, None, :] * color[:, :, None]
+           - suf_c * inv_oma[:, None, :]),
+        axis=1,
     )
     d_alpha = d_alpha + dL_dd[None, :] * (
         t_excl * depth[:, None] - (tot_d[None, :] - pre_d) * inv_oma
@@ -307,12 +337,13 @@ def blend_chunk_bwd(
     cross = contribf * (t_excl > 0.5) * (p_incl < 0.5)
     d_depth_med = jnp.sum(cross * dL_dmed[None, :], axis=1)
 
+    last = p_incl.shape[0] - 1
     new_carry = BlendBwdCarry(
-        prod=p_incl[-1],
-        pre_c=pre_c[-1],
-        pre_d=pre_d[-1],
-        pre_w=pre_w[-1],
-        pre_v=pre_v[-1],
+        prod=p_incl[last],
+        pre_c=pre_c[last],
+        pre_d=pre_d[last],
+        pre_w=pre_w[last],
+        pre_v=pre_v[last],
     )
     return new_carry, (d_xy, d_conic, d_opac, d_color, d_depth,
                        d_depth_var, d_depth_med)

@@ -1,0 +1,410 @@
+"""Pallas TPU tile-render kernels (forward + analytic backward).
+
+TPU-native re-architecture of the reference's hot loops:
+
+- ``renderCUDA`` forward (light forward.cu:261-412): one CUDA block per tile,
+  one thread per pixel, 256-Gaussian shared-memory batches, sequential
+  per-pixel blending.  Here: one grid step per tile, the *whole* tile's pixel
+  vector processed as (chunk x Q) dense VPU math using the prefix-product
+  formulation from ``ops.blend``; Gaussian blocks are DMA'd from HBM into
+  VMEM scratch (the shared-memory staging pattern, forward.cu:329-343, maps
+  onto explicit async copies); per-tile early termination skips remaining
+  blocks once every pixel is saturated (forward.cu:368-373's done-voting).
+
+- ``renderCUDA`` backward (light backward.cu:419-699): instead of
+  back-to-front recurrences + atomicAdd scatter, a forward-ordered pass with
+  prefix sums (see ops/blend.py) writing *per-instance gradient rows*.
+  Instances of one tile are contiguous in the sorted stream, so each grid
+  step DMA-writes a private, contiguous slice — no atomics, deterministic.
+
+Data layout: TPU DMA requires 128-lane tiles, so the instance stream is laid
+out in feature-planar blocks ``[n_blocks, FEAT, 128]`` (instance ``i`` lives
+at ``[i // 128, :, i % 128]``) and binning aligns every tile's segment to a
+multiple of 128 (``ops.binning align=128``).  One DMA moves one block; the
+kernel then processes it in compute sub-chunks of ``cfg.chunk`` instances to
+bound VMEM pressure.
+
+Feature rows:        x, y, A, B, C, opac, r, g, b, depth, depth_med, (pad)
+Gradient-row layout: dx, dy, dA, dB, dC, dopac, dr, dg, db, ddepth,
+                     ddepth_var, ddepth_med, (pad)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RasterConfig
+from .. import blend
+from ..tile_xla import CoreOutputs
+
+BLOCK = 128  # instances per DMA block == binning alignment
+FEAT = 16    # feature rows per block (11 used, padded to a sublane multiple)
+
+
+def _is_cpu():
+    return jax.devices()[0].platform == "cpu"
+
+
+def _pixel_vectors(tile_idx, tiles_x, th, tw, height, width):
+    """px, py [Q] float32 and pixel-validity mask [Q] for one tile."""
+    qx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).reshape(th * tw)
+    qy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).reshape(th * tw)
+    tx = tile_idx % tiles_x
+    ty = tile_idx // tiles_x
+    pxi = tx * tw + qx
+    pyi = ty * th + qy
+    mask = (pxi < width) & (pyi < height)
+    return pxi.astype(jnp.float32), pyi.astype(jnp.float32), mask
+
+
+def pack_instances(xy, conic, opac, color, depth, depth_med):
+    """[I, features] -> [I // BLOCK, FEAT, BLOCK] feature-planar blocks."""
+    i = xy.shape[0]
+    assert i % BLOCK == 0, "instance stream must be BLOCK-aligned"
+    flat = jnp.concatenate(
+        [xy, conic, opac[:, None], color, depth[:, None],
+         depth_med[:, None], jnp.zeros((i, FEAT - 11), xy.dtype)],
+        axis=1,
+    )
+    return jnp.transpose(flat.reshape(i // BLOCK, BLOCK, FEAT), (0, 2, 1))
+
+
+def _sub(plane, c, size):
+    return jax.lax.slice_in_dim(plane, c * size, (c + 1) * size, axis=-1)
+
+
+def _features(block, c, size):
+    """Extract one compute sub-chunk's per-instance vectors from a
+    [FEAT, BLOCK] plane.  ``c`` is a static Python int."""
+    xy = jnp.stack([_sub(block[0], c, size), _sub(block[1], c, size)], -1)
+    conic = jnp.stack([_sub(block[2], c, size), _sub(block[3], c, size),
+                       _sub(block[4], c, size)], -1)
+    opac = _sub(block[5], c, size)
+    color = jnp.stack([_sub(block[6], c, size), _sub(block[7], c, size),
+                       _sub(block[8], c, size)], -1)
+    depth = _sub(block[9], c, size)
+    dmed = _sub(block[10], c, size)
+    return xy, conic, opac, color, depth, dmed
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    start_ref, stop_ref, tidx_ref,
+    # inputs
+    packed_hbm, gt_ref,
+    # outputs (tile-blocked)
+    color_ref, depth_ref, weight_ref, median_ref, var_ref, tfinal_ref,
+    ncon_ref, nval_ref, midx_ref, ucross_ref,
+    # scratch
+    data_scr, sems,
+    *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
+):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    stop = stop_ref[t]
+    q = cfg.tile_px
+    n_sub = BLOCK // sub
+
+    # tidx maps the local grid step to a global tile id (they differ when
+    # the tile axis is sharded across devices)
+    px, py, pixmask = _pixel_vectors(
+        tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
+    )
+    gt = gt_ref[0].reshape(q)
+
+    carry0 = blend.init_carry(q, 3, jnp.float32)
+    n_blocks = pl.cdiv(stop - start, BLOCK)
+
+    def cond(state):
+        k, carry = state
+        return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
+
+    def body(state):
+        k, carry = state
+        row = start // BLOCK + k
+        dma = pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(row, 1)], data_scr, sems.at[0]
+        )
+        dma.start()
+        dma.wait()
+        block = data_scr[0]
+        for c in range(n_sub):
+            xy, conic, opac, color, depth, dmed = _features(block, c, sub)
+            off = k * BLOCK + c * sub
+            gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+            valid = ((off + gi) < (stop - start)) & pixmask[None, :]
+            carry, _, _ = blend.blend_chunk_fwd(
+                carry, xy, conic, opac, color, depth, dmed, valid,
+                px, py, gt, off, cfg, global_base=start + off,
+            )
+        return k + 1, carry
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    color_ref[0] = carry.color.reshape(3, th, tw)
+    depth_ref[0] = carry.depth.reshape(th, tw)
+    weight_ref[0] = carry.weight.reshape(th, tw)
+    median_ref[0] = carry.median.reshape(th, tw)
+    var_ref[0] = carry.var.reshape(th, tw)
+    tfinal_ref[0] = carry.t_final.reshape(th, tw)
+    ncon_ref[0] = carry.n_contrib.reshape(th, tw)
+    nval_ref[0] = carry.n_valid.reshape(th, tw)
+    midx_ref[0] = carry.midx.reshape(th, tw)
+    ucross_ref[0] = carry.ucross.reshape(th, tw)
+
+
+def core_fwd(
+    xy, conic, opac, color, depth, depth_med,
+    tile_start, tile_stop, gt_tiles,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int,
+    height: int, width: int, tile_batch: int = 0, interpret=None,
+    tile_index=None,
+) -> CoreOutputs:
+    del tile_batch  # XLA-backend knob; the kernel runs one tile per grid step
+    if interpret is None:
+        interpret = _is_cpu()
+    t = tile_start.shape[0]
+    q = cfg.tile_px
+    th, tw = cfg.tile_h, cfg.tile_w
+    sub = min(cfg.chunk, BLOCK)
+    assert BLOCK % sub == 0
+    i_total = xy.shape[0]
+
+    packed = pack_instances(xy, conic, opac, color, depth, depth_med)
+
+    tile_spec = pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tile3_spec = pl.BlockSpec((1, 3, th, tw), lambda i, *_: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    if tile_index is None:
+        tile_index = jnp.arange(t, dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed instance blocks
+            tile_spec,                              # gt tiles
+        ],
+        out_specs=(tile3_spec,) + (tile_spec,) * 9,
+        scratch_shapes=[
+            pltpu.VMEM((1, FEAT, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fwd_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
+        sub=sub,
+    )
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((t, 3, th, tw), f32),     # color
+            jax.ShapeDtypeStruct((t, th, tw), f32),        # depth
+            jax.ShapeDtypeStruct((t, th, tw), f32),        # weight
+            jax.ShapeDtypeStruct((t, th, tw), f32),        # median
+            jax.ShapeDtypeStruct((t, th, tw), f32),        # var
+            jax.ShapeDtypeStruct((t, th, tw), f32),        # t_final
+            jax.ShapeDtypeStruct((t, th, tw), jnp.int32),  # n_contrib
+            jax.ShapeDtypeStruct((t, th, tw), jnp.int32),  # n_valid
+            jax.ShapeDtypeStruct((t, th, tw), jnp.int32),  # midx
+            jax.ShapeDtypeStruct((t, th, tw), f32),        # ucross
+        ),
+        interpret=interpret,
+    )(tile_start, tile_stop, tile_index, packed,
+      gt_tiles.reshape(t, th, tw))
+
+    (c, d, wgt, med, var, tf, ncon, nval, midx, ucross) = out
+    flat = lambda x: x.reshape(x.shape[0], *x.shape[1:-2], q)
+    midx = flat(midx)
+    ucross = flat(ucross)
+
+    # Per-Gaussian uncertainty statistics (forward.cu:386-387) from the
+    # per-pixel crossing index: a deterministic segment reduction.
+    fm = midx.reshape(-1)
+    fu = ucross.reshape(-1)
+    safe = fm >= 0
+    sidx = jnp.where(safe, fm, 0)
+    u_inst = jnp.zeros((i_total,), f32).at[sidx].add(
+        jnp.where(safe, fu, 0.0))
+    npix_inst = jnp.zeros((i_total,), jnp.int32).at[sidx].add(
+        safe.astype(jnp.int32))
+
+    return CoreOutputs(flat(c), flat(d), flat(wgt), flat(med), flat(var),
+                       flat(tf), flat(ncon), flat(nval), midx,
+                       u_inst, npix_inst)
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    start_ref, stop_ref, tidx_ref,
+    packed_hbm, gt_ref,
+    totc_ref, totd_ref, totw_ref, totv_ref, tf_ref,
+    dc_ref, dd_ref, dw_ref, dv_ref, dm_ref, dtf_ref,
+    rows_init,
+    rows_out,
+    data_scr, rows_scr, sems,
+    *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
+):
+    del rows_init
+    t = pl.program_id(0)
+    start = start_ref[t]
+    stop = stop_ref[t]
+    q = cfg.tile_px
+    n_sub = BLOCK // sub
+
+    px, py, pixmask = _pixel_vectors(
+        tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
+    )
+    gt = gt_ref[0].reshape(q)
+    tot_c = totc_ref[0].reshape(3, q)
+    tot_d = totd_ref[0].reshape(q)
+    tot_w = totw_ref[0].reshape(q)
+    tot_v = totv_ref[0].reshape(q)
+    t_final = tf_ref[0].reshape(q)
+    dl_dc = dc_ref[0].reshape(3, q)
+    dl_dd = dd_ref[0].reshape(q)
+    dl_dw = dw_ref[0].reshape(q)
+    dl_dv = dv_ref[0].reshape(q)
+    dl_dm = dm_ref[0].reshape(q)
+    dl_dtf = dtf_ref[0].reshape(q)
+
+    carry0 = blend.init_bwd_carry(q, 3, jnp.float32)
+    n_blocks = pl.cdiv(stop - start, BLOCK)
+
+    def cond(state):
+        k, carry = state
+        return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
+
+    def body(state):
+        k, carry = state
+        row = start // BLOCK + k
+        dma = pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(row, 1)], data_scr, sems.at[0]
+        )
+        dma.start()
+        dma.wait()
+        block = data_scr[0]
+        for c in range(n_sub):
+            xy, conic, opac, color, depth, _ = _features(block, c, sub)
+            off = k * BLOCK + c * sub
+            gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+            valid = ((off + gi) < (stop - start)) & pixmask[None, :]
+            carry, rows = blend.blend_chunk_bwd(
+                carry, xy, conic, opac, color, depth, valid, px, py, gt,
+                tot_c, tot_d, tot_w, tot_v, t_final,
+                dl_dc, dl_dd, dl_dw, dl_dv, dl_dm, dl_dtf, cfg,
+            )
+            d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = rows
+            sl = pl.ds(c * sub, sub)
+            rows_scr[0, 0, sl] = d_xy[:, 0]
+            rows_scr[0, 1, sl] = d_xy[:, 1]
+            rows_scr[0, 2, sl] = d_conic[:, 0]
+            rows_scr[0, 3, sl] = d_conic[:, 1]
+            rows_scr[0, 4, sl] = d_conic[:, 2]
+            rows_scr[0, 5, sl] = d_opac
+            rows_scr[0, 6, sl] = d_color[:, 0]
+            rows_scr[0, 7, sl] = d_color[:, 1]
+            rows_scr[0, 8, sl] = d_color[:, 2]
+            rows_scr[0, 9, sl] = d_depth
+            rows_scr[0, 10, sl] = d_dvar
+            rows_scr[0, 11, sl] = d_dmed
+        dr = pltpu.make_async_copy(
+            rows_scr, rows_out.at[pl.ds(row, 1)], sems.at[1]
+        )
+        dr.start()
+        dr.wait()
+        return k + 1, carry
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+
+def core_bwd(
+    xy, conic, opac, color, depth,
+    tile_start, tile_stop, gt_tiles,
+    tot_c, tot_d, tot_w, tot_v, t_final,
+    dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int,
+    height: int, width: int, tile_batch: int = 0, interpret=None,
+    tile_index=None,
+):
+    del tile_batch
+    if interpret is None:
+        interpret = _is_cpu()
+    t = tile_start.shape[0]
+    if tile_index is None:
+        tile_index = jnp.arange(t, dtype=jnp.int32)
+    th, tw = cfg.tile_h, cfg.tile_w
+    sub = min(cfg.chunk, BLOCK)
+    i_total = xy.shape[0]
+    n_rows = i_total // BLOCK
+
+    packed = pack_instances(xy, conic, opac, color, depth,
+                            jnp.zeros_like(depth))
+
+    tile_spec = pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tile3_spec = pl.BlockSpec((1, 3, th, tw), lambda i, *_: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # packed
+            tile_spec,                               # gt
+            tile3_spec, tile_spec, tile_spec, tile_spec, tile_spec,  # totals
+            tile3_spec, tile_spec, tile_spec, tile_spec, tile_spec,
+            tile_spec,                               # cotangents
+            pl.BlockSpec(memory_space=pltpu.HBM),   # rows init (zeros)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((1, FEAT, BLOCK), jnp.float32),
+            pltpu.VMEM((1, FEAT, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _bwd_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
+        sub=sub,
+    )
+    rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, FEAT, BLOCK), jnp.float32),
+        input_output_aliases={16: 0},
+        interpret=interpret,
+    )(
+        tile_start, tile_stop, tile_index, packed,
+        gt_tiles.reshape(t, th, tw),
+        tot_c.reshape(t, 3, th, tw), tot_d.reshape(t, th, tw),
+        tot_w.reshape(t, th, tw), tot_v.reshape(t, th, tw),
+        t_final.reshape(t, th, tw),
+        dL_dc.reshape(t, 3, th, tw), dL_dd.reshape(t, th, tw),
+        dL_dw.reshape(t, th, tw), dL_dvar.reshape(t, th, tw),
+        dL_dmed.reshape(t, th, tw), dL_dtf.reshape(t, th, tw),
+        jnp.zeros((n_rows, FEAT, BLOCK), jnp.float32),
+    )
+    flat = jnp.transpose(rows, (0, 2, 1)).reshape(i_total, FEAT)
+    return (flat[:, 0:2], flat[:, 2:5], flat[:, 5], flat[:, 6:9],
+            flat[:, 9], flat[:, 10], flat[:, 11])

@@ -125,7 +125,7 @@ def render_oracle(
         carry = blend.init_carry(px.shape[0], 3, dtype)
         carry, u_inst, npix_inst = blend.blend_chunk_fwd(
             carry, xy, conic, opacity, color, depth, depth_med, valid,
-            px, py, gt, jnp.int32(0), cfg,
+            px, py, gt, jnp.int32(0), cfg, depth_var=depth_med,
         )
         return carry, u_inst, npix_inst
 

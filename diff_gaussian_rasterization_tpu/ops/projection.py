@@ -166,8 +166,18 @@ def preprocess(
     sh_degree: int = 0,
     colors_precomp=None,
     scale_modifier: float = 1.0,
+    means2D=None,
 ) -> Preprocessed:
-    """Vectorized per-Gaussian preprocessing (forward.cu:156-256)."""
+    """Vectorized per-Gaussian preprocessing (forward.cu:156-256).
+
+    ``means2D`` is an optional (P, 2) NDC-units offset added to the projected
+    centers.  Pass zeros to read screen-space position gradients from it —
+    the role of the reference's ``means2D`` input, whose only purpose is to
+    receive ``dL/d(mean2D)`` for the densification policy (its value is
+    ignored by the CUDA kernels; grads emitted at backward.cu:668-670 carry
+    the 0.5*W/H NDC scaling, which this formulation reproduces since
+    ndc2Pix is linear).
+    """
     view = camera.viewmatrix
     sg = jax.lax.stop_gradient
     view_depth = view if cfg.pose_depth_branch else sg(view)
@@ -206,8 +216,10 @@ def preprocess(
     lam = mid + jnp.sqrt(jnp.maximum(cfg.eig_clamp, mid * mid - det))
     radius = jnp.ceil(cfg.radius_sigma * jnp.sqrt(lam))
 
+    ndc_xy = ndc[:, :2] if means2D is None else ndc[:, :2] + means2D
     xy = jnp.stack(
-        [ndc2pix(ndc[:, 0], camera.width), ndc2pix(ndc[:, 1], camera.height)], -1
+        [ndc2pix(ndc_xy[:, 0], camera.width),
+         ndc2pix(ndc_xy[:, 1], camera.height)], -1
     )
 
     tiles_x = -(-camera.width // cfg.tile_w)

@@ -37,14 +37,16 @@ import jax.numpy as jnp
 from ..camera import Camera
 from ..config import RasterConfig
 from . import tile_xla
-from .binning import Binned, bin_gaussians, default_max_instances
+from .binning import (Binned, bin_gaussians, default_max_instances,
+                      INSTANCE_ALIGN)
 from .oracle import RenderOutputs
 from .projection import preprocess
 from .tiling import grid_dims, img_to_tiles, tiles_to_img
 
 
 def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
-               tiles_x: int, capacity: int, tile_batch: int, backend: str):
+               tiles_x: int, capacity: int, height: int, width: int,
+               tile_batch: int, backend: str, mesh=None, tile_axis="tile"):
     """Build the custom-VJP render core.
 
     Closure-captured arrays (ranges, ground-truth depth) are constants w.r.t.
@@ -59,12 +61,22 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
         fwd_impl = tile_xla.core_fwd_xla
         bwd_impl = tile_xla.core_bwd_xla
     kw = dict(cfg=cfg, tiles_x=tiles_x, capacity=capacity,
-              tile_batch=tile_batch)
+              height=height, width=width, tile_batch=tile_batch)
+    if mesh is not None:
+        from ..parallel.sharded import make_sharded_core
+        fwd_call, bwd_call = make_sharded_core(
+            mesh, tile_axis, fwd_impl, bwd_impl,
+            capacity=capacity, height=height, width=width,
+            tile_batch=tile_batch, tiles_x=tiles_x, cfg=cfg,
+        )
+    else:
+        fwd_call = lambda *a: fwd_impl(*a, **kw)
+        bwd_call = lambda *a: bwd_impl(*a, **kw)
 
     def _primal(xy, conic, opac, color, depth, depth_med, depth_var):
         del depth_var  # same values as depth; exists for gradient routing
-        return fwd_impl(xy, conic, opac, color, depth, depth_med,
-                        tile_start, tile_stop, gt_tiles, **kw)
+        return fwd_call(xy, conic, opac, color, depth, depth_med,
+                        tile_start, tile_stop, gt_tiles)
 
     core = jax.custom_vjp(_primal)
 
@@ -86,13 +98,12 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
                 return like
             return x
 
-        d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = bwd_impl(
+        d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = bwd_call(
             xy, conic, opac, color, depth,
             tile_start, tile_stop, gt_tiles,
             tot_c, tot_d, tot_w, tot_v, t_final,
             f(cot.color, zero_c), f(cot.depth, zero), f(cot.weight, zero),
             f(cot.var, zero), f(cot.median, zero), f(cot.t_final, zero),
-            **kw,
         )
         return d_xy, d_conic, d_opac, d_color, d_depth, d_dmed, d_dvar
 
@@ -115,11 +126,14 @@ def rasterize(
     scale_modifier: float = 1.0,
     bg=None,
     gt_depth=None,
+    means2D=None,
     track_off: bool = False,
     map_off: bool = False,
     max_instances=None,
     tile_batch: int = 64,
     backend=None,
+    mesh=None,
+    tile_axis: str = "tile",
 ) -> RenderOutputs:
     """Render Gaussians; differentiable w.r.t. all parameters and the pose.
 
@@ -144,6 +158,7 @@ def rasterize(
         )
     if map_off:
         means3D = sg(means3D)
+        means2D = None if means2D is None else sg(means2D)
         opacities = sg(opacities)
         scales = None if scales is None else sg(scales)
         rotations = None if rotations is None else sg(rotations)
@@ -158,6 +173,7 @@ def rasterize(
         opacities=opacities, scales=scales, rotations=rotations,
         cov3D_precomp=cov3D_precomp, shs=shs, sh_degree=sh_degree,
         colors_precomp=colors_precomp, scale_modifier=scale_modifier,
+        means2D=means2D,
     )
 
     tiles_x, tiles_y = grid_dims(h, w, cfg.tile_h, cfg.tile_w)
@@ -166,7 +182,8 @@ def rasterize(
         max_instances = cfg.max_instances or default_max_instances(
             p, cfg.instance_multiplier
         )
-    binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances)
+    binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
+                                 align=INSTANCE_ALIGN)
 
     ids = binn.gauss_id
     inst_xy = prep.xy[ids]
@@ -186,7 +203,8 @@ def rasterize(
     core = _make_core(
         binn.tile_start, binn.tile_stop, gt_tiles,
         cfg=cfg, tiles_x=tiles_x, capacity=max_instances,
-        tile_batch=tile_batch, backend=backend,
+        height=h, width=w, tile_batch=tile_batch, backend=backend,
+        mesh=mesh, tile_axis=tile_axis,
     )
     out = core(inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
                inst_depth_med, inst_depth_med)

@@ -35,6 +35,7 @@ class CoreOutputs(NamedTuple):
     t_final: jnp.ndarray   # [T, Q]
     n_contrib: jnp.ndarray  # [T, Q] int32
     n_valid: jnp.ndarray   # [T, Q] int32
+    midx: jnp.ndarray      # [T, Q] int32: instance index of median crossing
     u_inst: jnp.ndarray    # [I]
     npix_inst: jnp.ndarray  # [I] int32
 
@@ -61,7 +62,8 @@ def _pad_tiles(arrs, t, tile_batch):
 def core_fwd_xla(
     xy, conic, opac, color, depth, depth_med,
     tile_start, tile_stop, gt_tiles,
-    *, cfg: RasterConfig, tiles_x: int, capacity: int, tile_batch: int = 64,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int,
+    height: int, width: int, tile_batch: int = 64, tile_index=None,
 ) -> CoreOutputs:
     i_total = xy.shape[0]
     t = tile_start.shape[0]
@@ -71,20 +73,21 @@ def core_fwd_xla(
     dtype = xy.dtype
     channels = color.shape[1]
 
+    if tile_index is None:
+        tile_index = jnp.arange(t, dtype=jnp.int32)
     nb, tpad, (starts, stops, gt_p, tidx) = _pad_tiles(
-        [tile_start, tile_stop, gt_tiles,
-         jnp.arange(t, dtype=jnp.int32)], t, tile_batch,
+        [tile_start, tile_stop, gt_tiles, tile_index], t, tile_batch,
     )
 
     def blend_fn(carry, axy, aconic, aopac, acolor, adepth, admed, v,
-                 px, py, gt, base):
+                 px, py, gt, base, gbase):
         return blend.blend_chunk_fwd(
             carry, axy, aconic, aopac, acolor, adepth, admed, v,
-            px, py, gt, base, cfg,
+            px, py, gt, base, cfg, global_base=gbase,
         )
 
     vblend = jax.vmap(
-        blend_fn, in_axes=(0,) * 11 + (None,), out_axes=(0, 0, 0)
+        blend_fn, in_axes=(0,) * 11 + (None, 0), out_axes=(0, 0, 0)
     )
 
     def batch_body(acc, args):
@@ -92,6 +95,9 @@ def core_fwd_xla(
         start, stop, gt_t, ti = args
         tb = start.shape[0]
         px, py = _pixel_coords(ti, tiles_x, cfg.tile_h, cfg.tile_w, dtype)
+        # pixels past the image edge are inactive (the reference's `inside`
+        # test, forward.cu:293)
+        pixmask = (px < width) & (py < height)
         z = jnp.zeros((tb, q), dtype)
         carry0 = blend.BlendCarry(
             prod=jnp.ones((tb, q), dtype), t_final=jnp.ones((tb, q), dtype),
@@ -99,6 +105,8 @@ def core_fwd_xla(
             median=z, var=z,
             n_contrib=jnp.zeros((tb, q), jnp.int32),
             n_valid=jnp.zeros((tb, q), jnp.int32),
+            midx=jnp.full((tb, q), -1, jnp.int32),
+            ucross=z,
         )
         maxcnt = jnp.max(stop - start)
 
@@ -108,11 +116,12 @@ def core_fwd_xla(
             def do(operand):
                 carry, u_a, np_a = operand
                 idx = start[:, None] + k0 + jnp.arange(g, dtype=jnp.int32)[None]
-                v = idx < stop[:, None]
+                v = (idx < stop[:, None])[:, :, None] & pixmask[:, None, :]
                 idxc = jnp.clip(idx, 0, i_total - 1)
                 new_carry, u_rows, np_rows = vblend(
                     carry, xy[idxc], conic[idxc], opac[idxc], color[idxc],
                     depth[idxc], depth_med[idxc], v, px, py, gt_t, k0,
+                    start + k0,
                 )
                 return (
                     new_carry,
@@ -129,7 +138,8 @@ def core_fwd_xla(
             jnp.arange(n_chunks, dtype=jnp.int32) * g,
         )
         ys = (carry.color, carry.depth, carry.weight, carry.median,
-              carry.var, carry.t_final, carry.n_contrib, carry.n_valid)
+              carry.var, carry.t_final, carry.n_contrib, carry.n_valid,
+              carry.midx)
         return (u_acc, np_acc), ys
 
     (u_inst, npix_inst), ys = jax.lax.scan(
@@ -152,7 +162,8 @@ def core_bwd_xla(
     tot_c, tot_d, tot_w, tot_v, t_final,
     # incoming cotangents (tile-major)
     dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
-    *, cfg: RasterConfig, tiles_x: int, capacity: int, tile_batch: int = 64,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int,
+    height: int, width: int, tile_batch: int = 64, tile_index=None,
 ):
     """Analytic backward: per-instance gradient rows via scatter-add.
 
@@ -170,8 +181,10 @@ def core_bwd_xla(
     # fold dL_dtf and the (caller-supplied) t_final bg-term together; the
     # reference's background term (backward.cu:620-623) arrives here as the
     # cotangent of the t_final output.
+    if tile_index is None:
+        tile_index = jnp.arange(t, dtype=jnp.int32)
     nb, tpad, padded = _pad_tiles(
-        [tile_start, tile_stop, gt_tiles, jnp.arange(t, dtype=jnp.int32),
+        [tile_start, tile_stop, gt_tiles, tile_index,
          tot_c, tot_d, tot_w, tot_v, t_final,
          dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf],
         t, tile_batch,
@@ -198,6 +211,7 @@ def core_bwd_xla(
          dc, dd, dw, dv, dm, dtf) = args
         tb = start.shape[0]
         px, py = _pixel_coords(ti, tiles_x, cfg.tile_h, cfg.tile_w, dtype)
+        pixmask = (px < width) & (py < height)
         carry0 = blend.BlendBwdCarry(
             prod=jnp.ones((tb, q), dtype),
             pre_c=jnp.zeros((tb, channels, q), dtype),
@@ -213,7 +227,7 @@ def core_bwd_xla(
             def do(operand):
                 carry, acc = operand
                 idx = start[:, None] + k0 + jnp.arange(g, dtype=jnp.int32)[None]
-                v = idx < stop[:, None]
+                v = (idx < stop[:, None])[:, :, None] & pixmask[:, None, :]
                 idxc = jnp.clip(idx, 0, i_total - 1)
                 new_carry, rows = vblend(
                     carry, xy[idxc], conic[idxc], opac[idxc], color[idxc],

@@ -1,0 +1,135 @@
+"""Multi-device rendering and training (shard_map over a device mesh).
+
+All new TPU-native design — the reference has no distributed layer at all
+(SURVEY.md §2.3).  Two composable strategies:
+
+1. **Tile-sharded rendering** (``core_fwd_sharded``/``core_bwd_sharded``):
+   the render core already operates tile-major, so sharding the tile axis is
+   a pure data split.  Instance arrays are replicated (the splat working set
+   per frame is small next to HBM); each device renders its tile shard; in
+   the backward each device produces per-instance gradient rows that are
+   nonzero only for its own tiles' instances, so a single ``psum`` over ICI
+   yields the full rows.
+
+2. **Keyframe-sharded mapping** (``sharded_value_and_grad``): data-parallel
+   mapping across keyframes; Gaussian-parameter gradients ``psum`` over ICI,
+   exactly the north-star layout (keyframe partitioning + gradient psum).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RasterConfig
+from ..ops.tile_xla import CoreOutputs
+from .mesh import shard_map_fn
+
+
+def _pad_tiles_to(mesh_size: int, *arrs):
+    t = arrs[0].shape[0]
+    tpad = -(-t // mesh_size) * mesh_size
+    return t, [jnp.pad(a, [(0, tpad - t)] + [(0, 0)] * (a.ndim - 1))
+               for a in arrs]
+
+
+def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
+                      tiles_x: int, cfg: RasterConfig, **kw):
+    """Wrap raw core fwd/bwd impls with tile-axis sharding.
+
+    Both wrapped functions keep the unsharded call signature; tile-major
+    arrays are padded to the mesh size, split, and reassembled.  The local
+    tile index is recovered from an explicit per-tile index vector so pixel
+    coordinates stay global.
+    """
+    n = mesh.shape[axis]
+    rep = P()
+    shard = P(axis)
+
+    def fwd(xy, conic, opac, color, depth, depth_med,
+            tile_start, tile_stop, gt_tiles):
+        t, (ts, tp, gt) = _pad_tiles_to(n, tile_start, tile_stop, gt_tiles)
+        tidx = jnp.pad(jnp.arange(t, dtype=jnp.int32), (0, ts.shape[0] - t))
+
+        def local(xy, conic, opac, color, depth, depth_med, ts, tp, gt, ti):
+            out = fwd_impl(xy, conic, opac, color, depth, depth_med,
+                           ts, tp, gt, cfg=cfg, tiles_x=tiles_x,
+                           tile_index=ti, **kw)
+            # per-instance stats exist only for local tiles -> psum
+            return out._replace(
+                u_inst=jax.lax.psum(out.u_inst, axis),
+                npix_inst=jax.lax.psum(out.npix_inst, axis),
+            )
+
+        out_specs = CoreOutputs(*([shard] * 9 + [rep, rep]))
+        f = shard_map_fn(
+            local, mesh,
+            in_specs=(rep,) * 6 + (shard, shard, shard, shard),
+            out_specs=out_specs,
+        )
+        out = f(xy, conic, opac, color, depth, depth_med, ts, tp, gt, tidx)
+        trim = lambda x: x[:t]
+        return CoreOutputs(*(trim(getattr(out, f_)) for f_ in
+                             CoreOutputs._fields[:9]),
+                           out.u_inst, out.npix_inst)
+
+    def bwd(xy, conic, opac, color, depth, tile_start, tile_stop, gt_tiles,
+            tot_c, tot_d, tot_w, tot_v, t_final,
+            dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf):
+        t, padded = _pad_tiles_to(
+            n, tile_start, tile_stop, gt_tiles, tot_c, tot_d, tot_w, tot_v,
+            t_final, dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf)
+        tidx = jnp.pad(jnp.arange(t, dtype=jnp.int32),
+                       (0, padded[0].shape[0] - t))
+
+        def local(xy, conic, opac, color, depth, ts, tp, gt,
+                  tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf, ti):
+            rows = bwd_impl(xy, conic, opac, color, depth, ts, tp, gt,
+                            tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf,
+                            cfg=cfg, tiles_x=tiles_x, tile_index=ti, **kw)
+            return tuple(jax.lax.psum(r, axis) for r in rows)
+
+        f = shard_map_fn(
+            local, mesh,
+            in_specs=(rep,) * 5 + (shard,) * 14 + (shard,),
+            out_specs=(rep,) * 7,
+        )
+        return f(xy, conic, opac, color, depth, *padded, tidx)
+
+    return fwd, bwd
+
+
+def sharded_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
+                           axis: str = "kf"):
+    """Data-parallel value_and_grad over a sharded keyframe batch.
+
+    ``loss_one_frame(params, view, rgb, depth) -> scalar``.  Returns
+    ``f(params, views, rgbs, depths) -> (mean loss, grads)`` with keyframes
+    sharded over ``axis`` and gradients psum'd over ICI.
+    """
+    def local(params, views, rgbs, depths):
+        k = views.shape[0]
+
+        def batch_loss(p):
+            total = 0.0
+            for i in range(k):  # local keyframes; k is static per shard
+                total = total + loss_one_frame(p, views[i], rgbs[i],
+                                               depths[i])
+            return total
+
+        loss, grads = jax.value_and_grad(batch_loss)(params)
+        n_total = k * jax.lax.psum(1, axis)
+        loss = jax.lax.psum(loss, axis) / n_total
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, axis) / n_total, grads)
+        return loss, grads
+
+    return shard_map_fn(
+        local, mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )

@@ -1,0 +1,103 @@
+"""Pallas kernels vs the XLA tile backend (interpret mode on CPU).
+
+The Pallas forward/backward must agree with the XLA backend bit-for-bit in
+structure (same blend math module) and numerically to float32 tolerance.
+On real TPU hardware the same comparison runs compiled (see bench/TPU CI).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_gaussian_rasterization_tpu.config import RasterConfig
+from diff_gaussian_rasterization_tpu.ops import tile_xla
+from diff_gaussian_rasterization_tpu.ops.binning import bin_gaussians
+from diff_gaussian_rasterization_tpu.ops.kernels import render_pallas
+from diff_gaussian_rasterization_tpu.ops.projection import preprocess
+from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
+from diff_gaussian_rasterization_tpu.ops.tiling import grid_dims, img_to_tiles
+
+from scenes import make_scene
+
+CFG = RasterConfig(tile_h=8, tile_w=16, chunk=8)
+
+
+def setup(p=48, h=24, w=32, seed=13, capacity=1024):
+    scene, cam = make_scene(p=p, h=h, w=w, seed=seed)
+    prep = preprocess(
+        scene["means3D"], cam, CFG, opacities=scene["opacities"],
+        scales=scene["scales"], rotations=scene["rotations"],
+        colors_precomp=scene["colors_precomp"],
+    )
+    tiles_x, tiles_y = grid_dims(h, w, CFG.tile_h, CFG.tile_w)
+    binn = bin_gaussians(prep, tiles_x, tiles_y, capacity, align=128)
+    ids = binn.gauss_id
+    args = (prep.xy[ids], prep.conic[ids], prep.opacity[ids],
+            prep.color[ids], prep.depth[ids], prep.depth_sgview[ids])
+    gt_tiles = img_to_tiles(scene["gt_depth"], CFG.tile_h, CFG.tile_w)
+    kw = dict(cfg=CFG, tiles_x=tiles_x, capacity=capacity, height=h, width=w)
+    return scene, cam, binn, args, gt_tiles, kw
+
+
+def test_pallas_fwd_matches_xla():
+    scene, cam, binn, args, gt_tiles, kw = setup()
+    a = tile_xla.core_fwd_xla(*args, binn.tile_start, binn.tile_stop,
+                              gt_tiles, tile_batch=4, **kw)
+    b = render_pallas.core_fwd(*args, binn.tile_start, binn.tile_stop,
+                               gt_tiles, interpret=True, **kw)
+    for name in tile_xla.CoreOutputs._fields:
+        x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        if x.dtype == np.int32:
+            np.testing.assert_array_equal(x, y, err_msg=name)
+        else:
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6,
+                                       err_msg=name)
+
+
+def test_pallas_bwd_matches_xla():
+    scene, cam, binn, args, gt_tiles, kw = setup()
+    fwd = tile_xla.core_fwd_xla(*args, binn.tile_start, binn.tile_stop,
+                                gt_tiles, tile_batch=4, **kw)
+    t, q = fwd.depth.shape
+    rng = np.random.RandomState(0)
+    cots = [jnp.asarray(rng.normal(size=s), jnp.float32) for s in
+            [(t, 3, q), (t, q), (t, q), (t, q), (t, q), (t, q)]]
+    common = (*args[:5], binn.tile_start, binn.tile_stop, gt_tiles,
+              fwd.color, fwd.depth, fwd.weight, fwd.var, fwd.t_final,
+              *cots)
+    a = tile_xla.core_bwd_xla(*common, tile_batch=4, **kw)
+    b = render_pallas.core_bwd(*common, interpret=True, **kw)
+    names = ["d_xy", "d_conic", "d_opac", "d_color", "d_depth",
+             "d_depth_var", "d_depth_med"]
+    for n, x, y in zip(names, a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6, err_msg=n)
+
+
+def test_rasterize_pallas_backend_end_to_end():
+    scene, cam = make_scene(p=48, h=24, w=32, seed=13)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+
+    def loss(means, view, backend):
+        from diff_gaussian_rasterization_tpu.camera import Camera
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height, width=cam.width)
+        out = rasterize(means, cam2, CFG, backend=backend, tile_batch=4, **kw)
+        return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                + 0.1 * jnp.sum(out.depth_median)), out
+
+    (l_x, out_x) = loss(scene["means3D"], cam.viewmatrix, "xla")
+    (l_p, out_p) = loss(scene["means3D"], cam.viewmatrix, "pallas")
+    np.testing.assert_allclose(float(l_x), float(l_p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_x.color),
+                               np.asarray(out_p.color), atol=1e-6)
+
+    g_x = jax.grad(lambda m, v: loss(m, v, "xla")[0], argnums=(0, 1))(
+        scene["means3D"], cam.viewmatrix)
+    g_p = jax.grad(lambda m, v: loss(m, v, "pallas")[0], argnums=(0, 1))(
+        scene["means3D"], cam.viewmatrix)
+    np.testing.assert_allclose(np.asarray(g_x[0]), np.asarray(g_p[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_x[1]), np.asarray(g_p[1]),
+                               rtol=1e-4, atol=1e-6)

@@ -1,0 +1,181 @@
+"""Production rasterize() (XLA tile backend) vs the oracle.
+
+Forward parity and, crucially, *gradient* parity: the production backward is
+an analytic custom VJP; the oracle's gradients are plain JAX autodiff.  They
+must agree for every parameter and for the pose, in both light and full
+branch configurations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_gaussian_rasterization_tpu.camera import Camera
+from diff_gaussian_rasterization_tpu.config import RasterConfig
+from diff_gaussian_rasterization_tpu.ops.oracle import render_oracle
+from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
+
+from scenes import make_scene
+
+CFG = RasterConfig(tile_h=8, tile_w=8, chunk=16)
+
+
+def run_both(scene, cam, cfg=CFG, **over):
+    kw = dict(scene)
+    kw.update(over)
+    means = kw.pop("means3D")
+    a = render_oracle(means, cam, cfg, **kw)
+    b = rasterize(means, cam, cfg, backend="xla", tile_batch=4, **kw)
+    return a, b
+
+
+def assert_outputs_close(a, b, atol=1e-5):
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=atol, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=atol, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.opacity_map),
+                               np.asarray(b.opacity_map), atol=atol)
+    np.testing.assert_allclose(np.asarray(a.depth_median),
+                               np.asarray(b.depth_median), atol=atol)
+    np.testing.assert_allclose(np.asarray(a.gau_uncertainty),
+                               np.asarray(b.gau_uncertainty),
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.gau_related_pixels),
+                                  np.asarray(b.gau_related_pixels))
+    np.testing.assert_array_equal(np.asarray(a.radii), np.asarray(b.radii))
+
+
+def test_forward_parity_colors_precomp():
+    scene, cam = make_scene(p=96, h=32, w=40, seed=0)
+    a, b = run_both(scene, cam)
+    assert not bool(b.overflow)
+    assert int(b.num_rendered) == int(a.num_rendered)
+    assert_outputs_close(a, b)
+
+
+def test_forward_parity_sh():
+    scene, cam = make_scene(p=64, h=24, w=32, seed=4, sh_degree=3)
+    a, b = run_both(scene, cam)
+    assert_outputs_close(a, b)
+
+
+def test_forward_parity_nontile_multiple_size():
+    # H, W not multiples of the tile shape exercise padding/cropping
+    scene, cam = make_scene(p=64, h=29, w=35, seed=8)
+    a, b = run_both(scene, cam)
+    assert_outputs_close(a, b)
+
+
+def _loss(out, wc, include_var=True):
+    l = (
+        jnp.sum(wc * out.color)
+        + 0.3 * jnp.sum(out.depth)
+        + 0.2 * jnp.sum(out.opacity_map)
+        + 0.15 * jnp.sum(out.depth_median)
+    )
+    if include_var:
+        l = l + 0.1 * jnp.sum(out.depth_var)
+    return l
+
+
+@pytest.mark.parametrize("pose_full", [False, True])
+def test_gradient_parity_all_params(pose_full):
+    cfg = CFG.replace(
+        pose_cov2d_branch=pose_full, pose_sh_branch=pose_full,
+        # compare against the oracle's real depth-variance autodiff:
+        # the production op's "phantom" var backward must equal the true
+        # gradient of the true-var forward.
+        ref_depth_var=False,
+    )
+    scene, cam = make_scene(p=72, h=24, w=32, seed=13, sh_degree=1)
+    wc = jnp.asarray(np.random.RandomState(1).uniform(0.5, 1, (3, 1, 1)),
+                     jnp.float32)
+    keys = ["means3D", "scales", "rotations", "opacities", "shs"]
+
+    def make_loss(render_fn):
+        def f(params, view):
+            cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                          tanfovy=cam.tanfovy, height=cam.height,
+                          width=cam.width)
+            kw = dict(scene)
+            kw.update(params)
+            means = kw.pop("means3D")
+            out = render_fn(means, cam2, cfg, **kw)
+            return _loss(out, wc)
+        return f
+
+    params = {k: scene[k] for k in keys}
+    f_oracle = make_loss(render_oracle)
+    f_prod = make_loss(
+        lambda *a, **k: rasterize(*a, backend="xla", tile_batch=4, **k)
+    )
+    g_oracle = jax.grad(f_oracle, argnums=(0, 1))(params, cam.viewmatrix)
+    g_prod = jax.grad(f_prod, argnums=(0, 1))(params, cam.viewmatrix)
+
+    for k in keys:
+        np.testing.assert_allclose(
+            np.asarray(g_oracle[0][k]), np.asarray(g_prod[0][k]),
+            rtol=5e-4, atol=2e-5, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_oracle[1]), np.asarray(g_prod[1]),
+        rtol=5e-4, atol=2e-5, err_msg="viewmatrix",
+    )
+
+
+def test_ref_depth_var_phantom_backward():
+    """cfg.ref_depth_var=True: forward var is 0, backward matches the true
+    gradient of the true-var render (reference quirk, forward.cu:317,410 vs
+    backward.cu:608-611)."""
+    scene, cam = make_scene(p=48, h=16, w=24, seed=3)
+
+    def f(cfgv, means):
+        out = rasterize(means, cam, CFG.replace(ref_depth_var=cfgv),
+                        backend="xla", tile_batch=4,
+                        **{k: v for k, v in scene.items() if k != "means3D"})
+        return jnp.sum(out.depth_var), out
+
+    (v_ref, out_ref) = f(True, scene["means3D"])
+    (v_true, _) = f(False, scene["means3D"])
+    assert float(v_ref) == 0.0
+    assert float(v_true) > 0.0
+
+    g_ref = jax.grad(lambda m: f(True, m)[0])(scene["means3D"])
+    g_true = jax.grad(lambda m: f(False, m)[0])(scene["means3D"])
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_true),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_track_off_map_off_gates():
+    scene, cam = make_scene(p=48, h=16, w=24, seed=6)
+
+    def loss(means, view, **flags):
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height, width=cam.width)
+        out = rasterize(means, cam2, CFG, backend="xla", tile_batch=4,
+                        **{k: v for k, v in scene.items() if k != "means3D"},
+                        **flags)
+        return jnp.sum(out.color) + jnp.sum(out.depth)
+
+    g_m, g_v = jax.grad(loss, argnums=(0, 1))(
+        scene["means3D"], cam.viewmatrix, track_off=True)
+    assert float(jnp.abs(g_v).max()) == 0.0       # pose gated off
+    assert float(jnp.abs(g_m).max()) > 0.0
+
+    g_m, g_v = jax.grad(loss, argnums=(0, 1))(
+        scene["means3D"], cam.viewmatrix, map_off=True)
+    assert float(jnp.abs(g_m).max()) == 0.0       # gaussian params gated off
+    assert float(jnp.abs(g_v).max()) > 0.0
+
+
+def test_overflow_reporting():
+    scene, cam = make_scene(p=96, h=32, w=40, seed=0)
+    out = rasterize(
+        scene["means3D"], cam, CFG, backend="xla", tile_batch=4,
+        max_instances=64,
+        **{k: v for k, v in scene.items() if k != "means3D"},
+    )
+    assert bool(out.overflow)
+    assert int(out.num_rendered) > 64

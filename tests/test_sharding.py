@@ -1,0 +1,108 @@
+"""Multi-device rendering/training on the virtual 8-device CPU mesh.
+
+N-device output must equal 1-device output (BASELINE-style equivalence test,
+SURVEY.md §4 item 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_gaussian_rasterization_tpu.camera import Camera
+from diff_gaussian_rasterization_tpu.config import RasterConfig
+from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
+from diff_gaussian_rasterization_tpu.parallel.mesh import make_mesh
+from diff_gaussian_rasterization_tpu.parallel.sharded import (
+    sharded_value_and_grad,
+)
+
+from scenes import make_scene
+
+CFG = RasterConfig(tile_h=8, tile_w=8, chunk=16)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual) mesh"
+)
+
+
+def test_tile_sharded_render_matches_single_device():
+    scene, cam = make_scene(p=96, h=32, w=40, seed=0)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    mesh = make_mesh(shape=(1, len(jax.devices())), axis_names=("kf", "tile"))
+
+    def run(mesh_arg):
+        return rasterize(scene["means3D"], cam, CFG, backend="xla",
+                         tile_batch=4, mesh=mesh_arg, **kw)
+
+    a = run(None)
+    b = run(mesh)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.gau_uncertainty),
+                               np.asarray(b.gau_uncertainty), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.gau_related_pixels),
+                                  np.asarray(b.gau_related_pixels))
+
+
+def test_tile_sharded_gradients_match():
+    scene, cam = make_scene(p=96, h=32, w=40, seed=3)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    mesh = make_mesh(shape=(1, len(jax.devices())), axis_names=("kf", "tile"))
+
+    def loss(means, view, mesh_arg):
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height, width=cam.width)
+        out = rasterize(means, cam2, CFG, backend="xla", tile_batch=4,
+                        mesh=mesh_arg, **kw)
+        return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                + 0.1 * jnp.sum(out.depth_median))
+
+    g1 = jax.grad(loss, argnums=(0, 1))(scene["means3D"], cam.viewmatrix,
+                                        None)
+    g2 = jax.grad(loss, argnums=(0, 1))(scene["means3D"], cam.viewmatrix,
+                                        mesh)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_keyframe_sharded_grads_match():
+    scene, cam = make_scene(p=64, h=24, w=24, seed=5)
+    kw = {k: v for k, v in scene.items()
+          if k not in ("means3D", "gt_depth")}
+    n = len(jax.devices())
+    mesh = make_mesh(shape=(n, 1), axis_names=("kf", "tile"))
+    rng = np.random.RandomState(0)
+    k = n  # one keyframe per device
+    views = jnp.stack([cam.viewmatrix] * k)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (k, 3, 24, 24)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 3, (k, 24, 24)), jnp.float32)
+
+    def loss_one(params, view, rgb, depth):
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=24, width=24)
+        out = rasterize(params["means3D"], cam2, CFG, backend="xla",
+                        tile_batch=4, gt_depth=depth,
+                        colors_precomp=params["colors"], **kw)
+        return jnp.mean((out.color - rgb) ** 2) + 0.3 * jnp.mean(
+            (out.depth[0] - depth) ** 2)
+
+    params = {"means3D": scene["means3D"], "colors": kw.pop("colors_precomp")}
+
+    f = sharded_value_and_grad(loss_one, mesh, axis="kf")
+    loss_s, grads_s = f(params, views, rgbs, depths)
+
+    def direct(p):
+        return sum(loss_one(p, views[i], rgbs[i], depths[i])
+                   for i in range(k)) / k
+
+    loss_d, grads_d = jax.value_and_grad(direct)(params)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for kk in params:
+        np.testing.assert_allclose(np.asarray(grads_s[kk]),
+                                   np.asarray(grads_d[kk]),
+                                   rtol=1e-4, atol=1e-6, err_msg=kk)

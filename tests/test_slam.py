@@ -1,0 +1,105 @@
+"""Tracking & mapping loops on a synthetic RGB-D sequence.
+
+BASELINE config 3 (pose-only tracking, map_off) and config 4 (mapping with
+densify + uncertainty outputs) in miniature, CPU-sized.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diff_gaussian_rasterization_tpu.camera import Camera
+from diff_gaussian_rasterization_tpu.config import RasterConfig
+from diff_gaussian_rasterization_tpu.models import lie
+from diff_gaussian_rasterization_tpu.models.gaussians import (
+    DensifyState, init_model,
+)
+from diff_gaussian_rasterization_tpu.models.slam import (
+    Frame, MappingConfig, TrackingConfig, make_map_optimizer, map_step,
+    model_params, render_model, track_frame,
+)
+from diff_gaussian_rasterization_tpu.io.synthetic import (
+    orbit_trajectory, random_room_model, render_sequence,
+)
+
+CFG = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+H, W = 48, 64
+CAM_T = Camera(viewmatrix=jnp.eye(4), tanfovx=0.7, tanfovy=0.55,
+               height=H, width=W)
+
+
+def make_world(n=512, capacity=512):
+    model = random_room_model(capacity=capacity, n=n, seed=0)
+    views = orbit_trajectory(4)
+    frames = render_sequence(model, views, CAM_T, CFG)
+    return model, views, frames
+
+
+def pose_error(view_a, view_b):
+    """Rotation (rad) + translation (m) error between two row-convention
+    view matrices."""
+    ra = np.asarray(view_a)[:3, :3].T
+    rb = np.asarray(view_b)[:3, :3].T
+    dr = ra @ rb.T
+    cos = np.clip((np.trace(dr) - 1) / 2, -1, 1)
+    rot_err = float(np.arccos(cos))
+    ta = np.asarray(view_a)[3, :3]
+    tb = np.asarray(view_b)[3, :3]
+    return rot_err, float(np.linalg.norm(ta - tb))
+
+
+def test_tracking_recovers_pose():
+    model, views, frames = make_world()
+    true_view = views[1]
+    # perturb the true pose and recover it by tracking
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.008, -0.01, 0.006])
+    view0 = lie.apply_twist(true_view, xi)
+    r0, t0 = pose_error(view0, true_view)
+
+    tcfg = TrackingConfig(iters=60, lr=3e-3, sil_threshold=0.95)
+    view_opt, best_loss, losses = track_frame(
+        model, view0, frames[1], CFG, tcfg, CAM_T)
+    r1, t1 = pose_error(view_opt, true_view)
+    assert r1 < r0 * 0.35, (r0, r1)
+    assert t1 < t0 * 0.35, (t0, t1)
+    assert float(best_loss) < float(losses[0])
+
+
+def test_mapping_improves_model():
+    gt_model, views, frames = make_world()
+    # corrupt colors and opacities; mapping should pull them back
+    rng = np.random.RandomState(1)
+    bad = gt_model.replace(
+        sh=gt_model.sh + jnp.asarray(
+            rng.normal(scale=0.2, size=gt_model.sh.shape), jnp.float32),
+        opacities_logit=gt_model.opacities_logit - 1.0,
+    )
+    mcfg = MappingConfig(iters=0, lr_means=0.0, lr_scales=1e-3,
+                         lr_rotations=0.0, lr_opacities=5e-2, lr_sh=2e-2)
+    opt = make_map_optimizer(mcfg)
+    opt_state = opt.init(model_params(bad))
+    dstate = DensifyState.zero(bad.capacity)
+
+    kviews = jnp.stack([views[0], views[2]])
+    krgbs = jnp.stack([frames[0].rgb, frames[2].rgb])
+    kdepths = jnp.stack([frames[0].depth, frames[2].depth])
+
+    model = bad
+    losses = []
+    for _ in range(25):
+        model, opt_state, dstate, loss, out = map_step(
+            model, opt_state, dstate, kviews, krgbs, kdepths, CFG, mcfg,
+            H, W, CAM_T.tanfovx, CAM_T.tanfovy, 2)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.6, losses[:3] + losses[-3:]
+    # densify statistics were accumulated
+    assert float(dstate.denom.max()) > 0
+
+
+def test_track_frame_is_jit_stable():
+    model, views, frames = make_world(n=128, capacity=128)
+    tcfg = TrackingConfig(iters=3)
+    v1, l1, _ = track_frame(model, views[0], frames[0], CFG, tcfg, CAM_T)
+    v2, l2, _ = track_frame(model, views[1], frames[1], CFG, tcfg, CAM_T)
+    assert np.all(np.isfinite(np.asarray(v1)))
+    assert np.all(np.isfinite(np.asarray(v2)))
