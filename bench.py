@@ -52,13 +52,18 @@ def make_scene(seed=0):
 def main():
     platform = jax.devices()[0].platform
     backend = "pallas" if platform in ("tpu", "axon") else "xla"
-    cfg = RasterConfig(tile_h=8, tile_w=128, chunk=64,
-                       instance_multiplier=6)
+    cfg = RasterConfig(tile_h=8, tile_w=128, chunk=64)
     scene = make_scene()
     kw = {k: v for k, v in scene.items() if k != "means3D"}
     view = jnp.eye(4, dtype=jnp.float32)
     cam = lambda v: Camera(viewmatrix=v, tanfovx=0.82, tanfovy=0.47,
                            height=H, width=W)
+
+    # preflight: size the static instance budget from the true count
+    probe = rasterize(scene["means3D"], cam(view), cfg, backend="xla",
+                      max_instances=1024, **kw)
+    max_instances = int(-(-int(probe.num_rendered) * 1.1 // 1024) * 1024)
+    kw["max_instances"] = max_instances
 
     def loss(means, v):
         out = rasterize(means, cam(v), cfg, backend=backend, **kw)

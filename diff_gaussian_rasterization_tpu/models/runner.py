@@ -1,0 +1,200 @@
+"""End-to-end Gaussian-splatting SLAM: tracking + mapping + keyframes.
+
+The full pipeline CG-SLAM builds on top of the reference rasterizer
+(reference README.md:60-83 documents only the render-wrapper contract; the
+loops themselves live in the CG-SLAM repo).  This runner is the TPU-native
+equivalent: stream RGB-D frames, track each frame's pose against the map
+(pose-only gradients), maintain a keyframe window, periodically optimize the
+map (Gaussian-only gradients) with densification and uncertainty pruning,
+and optionally refine the keyframe graph with the native pose-graph solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..config import RasterConfig
+from .gaussians import DensifyState, GaussianModel, init_model
+from .slam import (Frame, MappingConfig, TrackingConfig, make_map_optimizer,
+                   map_step, mapping_round, model_params, render_model,
+                   track_frame)
+
+
+@dataclasses.dataclass
+class SLAMConfig:
+    raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
+    tracking: TrackingConfig = dataclasses.field(
+        default_factory=TrackingConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    capacity: int = 200_000
+    keyframe_every: int = 8
+    window: int = 4             # keyframes per mapping round
+    map_every: int = 8
+    seed_every_px: int = 16     # backproject every Nth pixel when seeding
+    pose_graph_refine: bool = False
+
+
+@dataclasses.dataclass
+class SLAMState:
+    model: GaussianModel
+    opt_state: object
+    dstate: DensifyState
+    kf_views: List
+    kf_frames: List
+    est_views: List
+    rng: jax.Array
+
+
+def backproject(frame: Frame, view, cam_t: Camera, stride: int):
+    """Seed Gaussians from an RGB-D frame: unproject every `stride`-th pixel."""
+    h, w = cam_t.height, cam_t.width
+    depth = np.asarray(frame.depth)
+    rgb = np.asarray(frame.rgb)
+    ys, xs = np.mgrid[0:h:stride, 0:w:stride]
+    ys, xs = ys.ravel(), xs.ravel()
+    d = depth[ys, xs]
+    ok = d > 0
+    ys, xs, d = ys[ok], xs[ok], d[ok]
+    # pixel -> camera ray (pinhole, principal point at center)
+    x_cam = (xs + 0.5 - w / 2) / cam_t.focal_x * d
+    y_cam = (ys + 0.5 - h / 2) / cam_t.focal_y * d
+    pts_cam = np.stack([x_cam, y_cam, d], -1)
+    # camera -> world: p_view = p_world @ V[:3,:3] + V[3,:3]
+    v = np.asarray(view)
+    rot = v[:3, :3]
+    pts_world = (pts_cam - v[3, :3]) @ np.linalg.inv(rot)
+    colors = rgb[:, ys, xs].T
+    # isotropic scale ~ pixel footprint at that depth
+    scale = d / cam_t.focal_x * stride * 0.7
+    scales = np.stack([scale] * 3, -1)
+    return (jnp.asarray(pts_world, jnp.float32),
+            jnp.asarray(colors, jnp.float32),
+            jnp.asarray(scales, jnp.float32))
+
+
+def add_gaussians(model: GaussianModel, means, colors, scales,
+                  opacity_logit: float = 1.5):
+    """Write new Gaussians into free slots (static shapes)."""
+    from ..ops.sh import rgb_to_sh0
+    n = means.shape[0]
+    free = jnp.argsort(model.active)[:n]         # inactive slots first
+    ok = ~model.active[free]
+    put = lambda arr, rows: arr.at[free].set(
+        jnp.where(ok.reshape((-1,) + (1,) * (rows.ndim - 1)), rows,
+                  arr[free]))
+    model = model.replace(
+        means3D=put(model.means3D, means),
+        scales_log=put(model.scales_log, jnp.log(jnp.maximum(scales, 1e-6))),
+        sh=model.sh.at[free, 0].set(
+            jnp.where(ok[:, None], rgb_to_sh0(colors), model.sh[free, 0])),
+        opacities_logit=put(model.opacities_logit,
+                            jnp.full((n, 1), opacity_logit)),
+        rotations=put(model.rotations,
+                      jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))),
+        active=model.active.at[free].set(model.active[free] | ok),
+    )
+    return model, int(jnp.sum(ok))
+
+
+def init_slam(first_view, first_frame: Frame, cam_t: Camera,
+              scfg: SLAMConfig) -> SLAMState:
+    model = init_model(scfg.capacity, sh_degree=0)
+    means, colors, scales = backproject(first_frame, first_view, cam_t,
+                                        scfg.seed_every_px)
+    model, _ = add_gaussians(model, means, colors, scales)
+    opt = make_map_optimizer(scfg.mapping)
+    return SLAMState(
+        model=model,
+        opt_state=opt.init(model_params(model)),
+        dstate=DensifyState.zero(scfg.capacity),
+        kf_views=[first_view],
+        kf_frames=[first_frame],
+        est_views=[first_view],
+        rng=jax.random.PRNGKey(0),
+    )
+
+
+def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
+              scfg: SLAMConfig, frame_idx: int):
+    """Process one frame: track; maybe keyframe + map."""
+    view0 = state.est_views[-1]
+    view, loss, _ = track_frame(state.model, view0, frame, scfg.raster,
+                                scfg.tracking, cam_t)
+    state.est_views.append(view)
+
+    if frame_idx % scfg.keyframe_every == 0:
+        state.kf_views.append(view)
+        state.kf_frames.append(frame)
+        # seed unobserved regions: pixels with low silhouette
+        out = render_model(state.model, Camera(
+            viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
+            height=cam_t.height, width=cam_t.width), scfg.raster)
+        sil = np.asarray(out.opacity_map[0])
+        holes = Frame(
+            rgb=frame.rgb,
+            depth=jnp.where(jnp.asarray(sil) < 0.5, frame.depth, 0.0),
+        )
+        means, colors, scales = backproject(holes, view, cam_t,
+                                            scfg.seed_every_px)
+        if means.shape[0] > 0:
+            state.model, _ = add_gaussians(state.model, means, colors,
+                                           scales)
+
+    if frame_idx % scfg.map_every == 0 and len(state.kf_views) >= 1:
+        idx = np.random.RandomState(frame_idx).choice(
+            len(state.kf_views), size=min(scfg.window, len(state.kf_views)),
+            replace=False)
+        kviews = jnp.stack([state.kf_views[i] for i in idx])
+        krgbs = jnp.stack([state.kf_frames[i].rgb for i in idx])
+        kdepths = jnp.stack([state.kf_frames[i].depth for i in idx])
+        state.rng, sub = jax.random.split(state.rng)
+        state.model, state.opt_state, state.dstate, mloss = mapping_round(
+            state.model, state.opt_state, state.dstate,
+            (kviews, krgbs, kdepths), scfg.raster, scfg.mapping, cam_t, sub)
+    return state, float(loss)
+
+
+def run_slam(dataset, scfg: SLAMConfig, cam_t: Camera,
+             max_frames: Optional[int] = None, verbose: bool = False):
+    """Track + map an RGB-D sequence.  `dataset` yields (gt_view, Frame).
+
+    The first pose initializes the trajectory (standard SLAM evaluation
+    protocol).  Returns (state, gt_views).
+    """
+    it = iter(dataset)
+    gt0, f0 = next(it)
+    state = init_slam(jnp.asarray(gt0), f0, cam_t, scfg)
+    gt_views = [gt0]
+    for i, (gt, frame) in enumerate(it, start=1):
+        if max_frames is not None and i >= max_frames:
+            break
+        state, loss = slam_step(state, frame, cam_t, scfg, i)
+        gt_views.append(gt)
+        if verbose and i % 10 == 0:
+            print(f"frame {i}: track loss {loss:.4f}, "
+                  f"active {int(state.model.num_active)}")
+    if scfg.pose_graph_refine and len(state.kf_views) >= 3:
+        state = refine_keyframes(state)
+    return state, gt_views
+
+
+def refine_keyframes(state: SLAMState):
+    """Pose-graph refinement over the keyframe chain (native C++ solver)."""
+    from .. import native
+    k = len(state.kf_views)
+    views = np.stack([np.asarray(v, np.float64) for v in state.kf_views])
+    edges, zs = [], []
+    for i in range(k - 1):
+        edges.append((i, i + 1))
+        # row-convention relative: Vj @ inv(Vi) == (Xi^-1 Xj)^T
+        zs.append(views[i + 1] @ np.linalg.inv(views[i]))
+    refined, _ = native.pose_graph_optimize(views, np.asarray(edges),
+                                            np.stack(zs), iters=5)
+    state.kf_views = [jnp.asarray(v) for v in refined]
+    return state

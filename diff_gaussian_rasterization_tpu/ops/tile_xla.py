@@ -40,6 +40,18 @@ class CoreOutputs(NamedTuple):
     npix_inst: jnp.ndarray  # [I] int32
 
 
+
+def _vzero(ref, dtype):
+    """A zero scalar that inherits `ref`'s varying-ness.
+
+    Inside shard_map, loop carries initialized from plain zeros are
+    'unvarying' while the loop body makes them 'varying'; lax.cond/lax.scan
+    then reject the mismatched types.  Adding this zero (a no-op numerically)
+    makes initializers consistently varying.
+    """
+    return (ref.reshape(-1)[0] * 0).astype(dtype)
+
+
 def _pixel_coords(tidx, tiles_x: int, th: int, tw: int, dtype):
     q = jnp.arange(th * tw)
     qx = (q % tw).astype(dtype)
@@ -98,14 +110,17 @@ def core_fwd_xla(
         # pixels past the image edge are inactive (the reference's `inside`
         # test, forward.cu:293)
         pixmask = (px < width) & (py < height)
-        z = jnp.zeros((tb, q), dtype)
+        vzf = _vzero(gt_t, dtype)
+        vzi = _vzero(start, jnp.int32)
+        z = jnp.zeros((tb, q), dtype) + vzf
         carry0 = blend.BlendCarry(
-            prod=jnp.ones((tb, q), dtype), t_final=jnp.ones((tb, q), dtype),
-            color=jnp.zeros((tb, channels, q), dtype), depth=z, weight=z,
-            median=z, var=z,
-            n_contrib=jnp.zeros((tb, q), jnp.int32),
-            n_valid=jnp.zeros((tb, q), jnp.int32),
-            midx=jnp.full((tb, q), -1, jnp.int32),
+            prod=jnp.ones((tb, q), dtype) + vzf,
+            t_final=jnp.ones((tb, q), dtype) + vzf,
+            color=jnp.zeros((tb, channels, q), dtype) + vzf, depth=z,
+            weight=z, median=z, var=z,
+            n_contrib=jnp.zeros((tb, q), jnp.int32) + vzi,
+            n_valid=jnp.zeros((tb, q), jnp.int32) + vzi,
+            midx=jnp.full((tb, q), -1, jnp.int32) + vzi,
             ucross=z,
         )
         maxcnt = jnp.max(stop - start)
@@ -142,9 +157,12 @@ def core_fwd_xla(
               carry.midx)
         return (u_acc, np_acc), ys
 
+    vzf0 = _vzero(gt_p, dtype)
+    vzi0 = _vzero(starts, jnp.int32)
     (u_inst, npix_inst), ys = jax.lax.scan(
         batch_body,
-        (jnp.zeros((i_total,), dtype), jnp.zeros((i_total,), jnp.int32)),
+        (jnp.zeros((i_total,), dtype) + vzf0,
+         jnp.zeros((i_total,), jnp.int32) + vzi0),
         tuple(a.reshape(nb, tile_batch, *a.shape[1:])
               for a in (starts, stops, gt_p, tidx)),
     )
@@ -201,7 +219,8 @@ def core_bwd_xla(
 
     vblend = jax.vmap(blend_fn)
 
-    zeros = lambda *shape: jnp.zeros(shape, dtype)
+    vzf0 = _vzero(gt_p, dtype)
+    zeros = lambda *shape: jnp.zeros(shape, dtype) + vzf0
     acc0 = (zeros(i_total, 2), zeros(i_total, 3), zeros(i_total),
             zeros(i_total, channels), zeros(i_total), zeros(i_total),
             zeros(i_total))
@@ -212,12 +231,13 @@ def core_bwd_xla(
         tb = start.shape[0]
         px, py = _pixel_coords(ti, tiles_x, cfg.tile_h, cfg.tile_w, dtype)
         pixmask = (px < width) & (py < height)
+        vzf = _vzero(gt_t, dtype)
         carry0 = blend.BlendBwdCarry(
-            prod=jnp.ones((tb, q), dtype),
-            pre_c=jnp.zeros((tb, channels, q), dtype),
-            pre_d=jnp.zeros((tb, q), dtype),
-            pre_w=jnp.zeros((tb, q), dtype),
-            pre_v=jnp.zeros((tb, q), dtype),
+            prod=jnp.ones((tb, q), dtype) + vzf,
+            pre_c=jnp.zeros((tb, channels, q), dtype) + vzf,
+            pre_d=jnp.zeros((tb, q), dtype) + vzf,
+            pre_w=jnp.zeros((tb, q), dtype) + vzf,
+            pre_v=jnp.zeros((tb, q), dtype) + vzf,
         )
         maxcnt = jnp.max(stop - start)
 

@@ -1,0 +1,39 @@
+"""Checkpoint/resume for the Gaussian map + trajectory (orbax).
+
+The reference is a stateless op library with no persistence (SURVEY.md §5);
+in a SLAM system the map pytree and keyframe poses are the state worth
+saving.  Orbax handles sharded arrays transparently, so the same API works
+for multi-host maps.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def _ckpt():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save(path: str, model, est_views=None, kf_views=None, step: int = 0):
+    ocp = _ckpt()
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        payload = {"model": model, "step": step}
+        if est_views is not None:
+            payload["est_views"] = list(est_views)
+        if kf_views is not None:
+            payload["kf_views"] = list(kf_views)
+        ckptr.save(path, payload, force=True)
+
+
+def restore(path: str, model_like):
+    """Restore; `model_like` provides the pytree structure/dtypes."""
+    ocp = _ckpt()
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(path)
+    model = jax.tree.unflatten(
+        jax.tree.structure(model_like),
+        jax.tree.leaves(restored["model"]),
+    )
+    return model, restored

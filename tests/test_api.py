@@ -1,0 +1,96 @@
+"""Reference-compatible API surface (GaussianRasterizationSettings etc.)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diff_gaussian_rasterization_tpu as dgr
+from diff_gaussian_rasterization_tpu.config import RasterConfig
+
+from scenes import make_scene
+
+CFG = RasterConfig(tile_h=8, tile_w=8, chunk=16)
+
+
+def make_settings(cam, scene, **over):
+    kw = dict(
+        image_height=cam.height, image_width=cam.width,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        bg=scene["bg"], scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=None, sh_degree=0,
+        campos=None, prefiltered=False, debug=False, perspec_matrix=None,
+        track_off=False, map_off=False,
+    )
+    kw.update(over)
+    return dgr.GaussianRasterizationSettings(**kw)
+
+
+def test_rasterizer_eight_tuple():
+    scene, cam = make_scene(p=48, h=24, w=32, seed=1)
+    settings = make_settings(cam, scene)
+    r = dgr.GaussianRasterizer(settings, config=CFG)
+    out = r(
+        means3D=scene["means3D"], opacities=scene["opacities"],
+        colors_precomp=scene["colors_precomp"], scales=scene["scales"],
+        rotations=scene["rotations"], viewmatrix=cam.viewmatrix,
+        gt_depth=scene["gt_depth"],
+    )
+    (color, radii, depth, depth_median, depth_var, opacity_map,
+     gau_uncertainty, gau_related_pixels) = out
+    assert color.shape == (3, 24, 32)
+    assert radii.shape == (48,)
+    assert depth.shape == depth_median.shape == (1, 24, 32)
+    assert np.all(np.asarray(depth_var) == 0.0)  # reference parity
+    assert gau_uncertainty.shape == (48, 1)
+    assert gau_related_pixels.dtype == jnp.int32
+
+    # matches the native API exactly
+    native = dgr.rasterize(
+        scene["means3D"],
+        dgr.Camera(viewmatrix=cam.viewmatrix, tanfovx=cam.tanfovx,
+                   tanfovy=cam.tanfovy, height=24, width=32),
+        CFG, opacities=scene["opacities"],
+        colors_precomp=scene["colors_precomp"], scales=scene["scales"],
+        rotations=scene["rotations"], bg=scene["bg"],
+        gt_depth=scene["gt_depth"],
+    )
+    np.testing.assert_allclose(np.asarray(color), np.asarray(native.color),
+                               atol=1e-6)
+
+
+def test_input_validation():
+    scene, cam = make_scene(p=16, h=16, w=16)
+    r = dgr.GaussianRasterizer(make_settings(cam, scene), config=CFG)
+    with pytest.raises(ValueError, match="SHs or precomputed"):
+        r(means3D=scene["means3D"], opacities=scene["opacities"],
+          scales=scene["scales"], rotations=scene["rotations"])
+    with pytest.raises(ValueError, match="scale/rotation pair"):
+        r(means3D=scene["means3D"], opacities=scene["opacities"],
+          colors_precomp=scene["colors_precomp"])
+
+
+def test_mark_visible():
+    scene, cam = make_scene(p=64, h=16, w=16, seed=2)
+    r = dgr.GaussianRasterizer(make_settings(cam, scene), config=CFG)
+    vis = r.markVisible(scene["means3D"])
+    zs = np.asarray(scene["means3D"][:, 2])  # identity view: z is depth
+    np.testing.assert_array_equal(np.asarray(vis), zs > 0.2)
+
+
+def test_empty_tensor_convention():
+    # the reference substitutes empty tensors for unused inputs
+    # (light __init__.py:223-233); empty arrays must behave like None
+    scene, cam = make_scene(p=16, h=16, w=16, seed=3)
+    out = dgr.rasterize_gaussians(
+        means3D=scene["means3D"],
+        shs=jnp.zeros((0,)),
+        colors_precomp=scene["colors_precomp"],
+        opacities=scene["opacities"],
+        scales=scene["scales"], rotations=scene["rotations"],
+        cov3Ds_precomp=jnp.zeros((0,)),
+        viewmatrix=cam.viewmatrix,
+        gt_depth=scene["gt_depth"],
+        raster_settings=make_settings(cam, scene),
+        config=CFG,
+    )
+    assert out[0].shape == (3, 16, 16)
