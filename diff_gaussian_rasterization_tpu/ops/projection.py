@@ -102,15 +102,22 @@ def unpack_cov3d(cov6):
 
 
 def compute_cov2d(means, cov3d_packed, viewmatrix, focal_x, focal_y,
-                  tanfovx, tanfovy, cfg: RasterConfig):
+                  tanfovx, tanfovy, cfg: RasterConfig, valid=None):
     """EWA projection of the 3D covariance to screen space.
 
     Equivalent of ``computeCov2D`` (forward.cu:74-113): view-space point
     clamped to ``1.3*tanfov``, perspective Jacobian J, cov2D = J W Sigma W^T J^T
     with the 0.3 low-pass on the diagonal.  Returns (P,3) packed (a, b, c).
+
+    ``valid`` masks culled Gaussians: the reference's per-thread early
+    return (forward.cu:193) means their covariance is never computed; here
+    their view depth is replaced by 1 so no inf/NaN can leak into gradients
+    through the masked-out lanes (the `where` gradient trap).
     """
     t = means @ viewmatrix[:3, :3] + viewmatrix[3, :3]
     tz = t[:, 2]
+    if valid is not None:
+        tz = jnp.where(valid, tz, 1.0)
     limx = cfg.fov_clamp * tanfovx
     limy = cfg.fov_clamp * tanfovy
     # clip gives exactly the reference's x_grad_mul/y_grad_mul zero-gradient
@@ -193,7 +200,12 @@ def preprocess(
     p_view_z_sg = means3D @ sg(view)[:3, 2] + sg(view)[3, 2]
     visible = p_view_z > cfg.near  # in_frustum, auxiliary.h:154
 
-    _, ndc = cam_ndc.project(means3D, w_eps=cfg.w_eps)
+    # homogeneous divide, guarded for culled Gaussians (w ~ 0 behind the
+    # camera would otherwise inject inf into gradients of masked lanes)
+    pm = cam_ndc.projmatrix
+    hom = means3D @ pm[:3, :] + pm[3, :]
+    hom_w = jnp.where(visible, hom[:, 3], 1.0)
+    ndc = hom[:, :3] / (hom_w + cfg.w_eps)[:, None]
 
     if cov3D_precomp is not None:
         cov3d = cov3D_precomp
@@ -203,7 +215,7 @@ def preprocess(
 
     cov2d = compute_cov2d(
         means3D, cov3d, view_cov, camera.focal_x, camera.focal_y,
-        camera.tanfovx, camera.tanfovy, cfg,
+        camera.tanfovx, camera.tanfovy, cfg, valid=visible,
     )
     a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
     det = a * c - b * b

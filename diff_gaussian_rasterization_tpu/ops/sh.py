@@ -48,7 +48,7 @@ def eval_sh(sh, dirs, degree: int):
       (P, 3) colors, clamped at zero after the +0.5 offset (forward.cu:63-70).
     """
     norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    d = dirs / norm
+    d = dirs / jnp.where(norm > 0, norm, 1.0)
     x, y, z = d[:, 0:1], d[:, 1:2], d[:, 2:3]
 
     result = SH_C0 * sh[:, 0]

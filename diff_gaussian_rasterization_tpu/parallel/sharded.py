@@ -113,6 +113,11 @@ def sharded_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
     """
     def local(params, views, rgbs, depths):
         k = views.shape[0]
+        # Mark the replicated parameters device-varying before
+        # differentiating: shard_map's transpose auto-psums the cotangent of
+        # an *unvarying* input, which would double-count with the explicit
+        # psum below (observed: grads exactly n_devices too large).
+        params = jax.tree.map(lambda x: jax.lax.pvary(x, axis), params)
 
         def batch_loss(p):
             total = 0.0
