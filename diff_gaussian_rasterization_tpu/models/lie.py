@@ -31,15 +31,28 @@ def hat(w):
     )
 
 
+def _rot_coeffs(w):
+    """Taylor-safe (a, b, c) = (sin t/t, (1-cos t)/t^2, (t-sin t)/t^3).
+
+    Differentiable at w = 0: the norm is never taken of a (near-)zero vector
+    (``sqrt`` at 0 has an infinite derivative and 0/0 slope -> NaN grads; the
+    standard double-where guard routes the small case through polynomials in
+    ``t2 = |w|^2`` instead).
+    """
+    t2 = jnp.sum(w * w)
+    small = t2 < 1e-12
+    t2s = jnp.where(small, 1.0, t2)          # safe sqrt argument
+    theta = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (theta - jnp.sin(theta)) / (t2s * theta))
+    return a, b, c
+
+
 def exp_so3(w):
     """Rodrigues: (3,) rotation vector -> (3,3) rotation matrix."""
-    theta = jnp.linalg.norm(w)
-    # Taylor-safe coefficients
-    small = theta < 1e-6
-    t2 = theta * theta
-    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(small, 0.5 - t2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    a, b, _ = _rot_coeffs(w)
     k = hat(w)
     return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
 
@@ -47,15 +60,9 @@ def exp_so3(w):
 def exp_se3(xi):
     """(6,) twist (v, w) -> (4,4) rigid transform (column-vector convention)."""
     v, w = xi[:3], xi[3:]
-    theta = jnp.linalg.norm(w)
-    small = theta < 1e-6
-    t2 = theta * theta
     k = hat(w)
     rot = exp_so3(w)
-    b = jnp.where(small, 0.5 - t2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
-    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, t2 * theta))
+    _, b, c = _rot_coeffs(w)
     vmat = jnp.eye(3, dtype=xi.dtype) + b * k + c * (k @ k)
     m = jnp.eye(4, dtype=xi.dtype)
     m = m.at[:3, :3].set(rot)

@@ -22,8 +22,7 @@ from ..camera import Camera
 from ..config import RasterConfig
 from .gaussians import DensifyState, GaussianModel, init_model
 from .slam import (Frame, MappingConfig, TrackingConfig, make_map_optimizer,
-                   map_step, mapping_round, model_params, render_model,
-                   track_frame)
+                   mapping_round, model_params, render_model, track_frame)
 
 
 @dataclasses.dataclass
@@ -37,6 +36,8 @@ class SLAMConfig:
     window: int = 4             # keyframes per mapping round
     map_every: int = 8
     seed_every_px: int = 16     # backproject every Nth pixel when seeding
+    init_iters: int = 50        # bootstrap mapping steps on the first frame
+    motion_model: bool = True   # constant-velocity tracking initialization
     pose_graph_refine: bool = False
 
 
@@ -109,7 +110,7 @@ def init_slam(first_view, first_frame: Frame, cam_t: Camera,
                                         scfg.seed_every_px)
     model, _ = add_gaussians(model, means, colors, scales)
     opt = make_map_optimizer(scfg.mapping)
-    return SLAMState(
+    state = SLAMState(
         model=model,
         opt_state=opt.init(model_params(model)),
         dstate=DensifyState.zero(scfg.capacity),
@@ -118,12 +119,35 @@ def init_slam(first_view, first_frame: Frame, cam_t: Camera,
         est_views=[first_view],
         rng=jax.random.PRNGKey(0),
     )
+    # Bootstrap mapping: optimize the freshly seeded Gaussians against the
+    # first frame before any tracking happens — tracking accuracy is bounded
+    # by map quality, and raw backprojected blobs are a poor map.
+    if scfg.init_iters > 0:
+        icfg = dataclasses.replace(scfg.mapping, iters=scfg.init_iters)
+        kf = (jnp.asarray(first_view)[None],
+              jnp.asarray(first_frame.rgb)[None],
+              jnp.asarray(first_frame.depth)[None])
+        state.rng, sub = jax.random.split(state.rng)
+        state.model, state.opt_state, state.dstate, _ = mapping_round(
+            state.model, state.opt_state, state.dstate, kf,
+            scfg.raster, icfg, cam_t, sub)
+    return state
 
 
 def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
               scfg: SLAMConfig, frame_idx: int):
     """Process one frame: track; maybe keyframe + map."""
-    view0 = state.est_views[-1]
+    # constant-velocity motion model: extrapolate the last relative motion
+    # (row-convention: X_pred = X_{k-1} X_{k-2}^{-1} X_{k-1})
+    if scfg.motion_model and len(state.est_views) >= 2:
+        x1 = np.asarray(state.est_views[-1], np.float64)
+        x2 = np.asarray(state.est_views[-2], np.float64)
+        pred = x1 @ np.linalg.inv(x2) @ x1
+        from .lie import orthonormalize_view
+        view0 = jnp.asarray(
+            orthonormalize_view(jnp.asarray(pred, jnp.float32)))
+    else:
+        view0 = state.est_views[-1]
     view, loss, _ = track_frame(state.model, view0, frame, scfg.raster,
                                 scfg.tracking, cam_t)
     state.est_views.append(view)
@@ -147,9 +171,14 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
                                            scales)
 
     if frame_idx % scfg.map_every == 0 and len(state.kf_views) >= 1:
-        idx = np.random.RandomState(frame_idx).choice(
-            len(state.kf_views), size=min(scfg.window, len(state.kf_views)),
-            replace=False)
+        # window: always the latest keyframe (anchors the map to the current
+        # viewpoint) + random older ones against forgetting
+        k = len(state.kf_views)
+        n_extra = min(scfg.window, k) - 1
+        older = np.random.RandomState(frame_idx).choice(
+            k - 1, size=min(n_extra, k - 1), replace=False) if k > 1 else []
+        idx = np.concatenate([[k - 1], older]).astype(int) if k > 1 \
+            else np.array([0])
         kviews = jnp.stack([state.kf_views[i] for i in idx])
         krgbs = jnp.stack([state.kf_frames[i].rgb for i in idx])
         kdepths = jnp.stack([state.kf_frames[i].depth for i in idx])

@@ -51,6 +51,10 @@ def rgbd_loss(out, frame: Frame, w_color: float = 1.0, w_depth: float = 0.5,
               sil_threshold: float = 0.99, tracking: bool = False):
     """L1 color + masked L1 depth.
 
+    Depth is compared as *expected* depth (accumulated alpha-weighted depth
+    normalized by the silhouette) — the geometric depth a sensor measures —
+    matching the convention of the synthetic/Replica/TUM ground truth.
+
     For tracking, loss is restricted to well-reconstructed pixels
     (silhouette > threshold) so unmapped regions don't drag the pose —
     the role of CG-SLAM's uncertainty gating.
@@ -66,18 +70,29 @@ def rgbd_loss(out, frame: Frame, w_color: float = 1.0, w_depth: float = 0.5,
         else out.color.size
     l_color = jnp.sum(jnp.abs(out.color - frame.rgb) * color_mask) / nc
     nd = jnp.maximum(jnp.sum(depth_valid), 1)
+    depth_est = out.depth[0] / jnp.maximum(out.opacity_map[0], 1e-6)
     l_depth = jnp.sum(
-        jnp.abs(out.depth[0] - frame.depth) * depth_valid
+        jnp.abs(depth_est - frame.depth) * depth_valid
     ) / nd
-    return w_color * l_color + w_depth * l_depth
+    loss = w_color * l_color + w_depth * l_depth
+    if tracking:
+        # an empty silhouette mask means the pose left the mapped region:
+        # its loss (exactly 0) must not win a best-of comparison
+        loss = jnp.where(jnp.sum(color_mask) > 0, loss, jnp.inf)
+    return loss
 
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConfig:
-    iters: int = 30
-    lr: float = 2e-3
-    w_color: float = 0.5
-    w_depth: float = 1.0
+    iters: int = 12
+    method: str = "gn"      # "gn" (Gauss-Newton/LM) | "adam" (1st-order)
+    lr: float = 2e-3        # adam only
+    huber: float = 0.05     # gn robust-loss scale
+    lam0: float = 1e-4      # gn initial LM damping
+    # color-led weighting: the depth residual divides by the silhouette,
+    # whose Jacobian is noisy at splat edges — keep it a mild regularizer
+    w_color: float = 1.0
+    w_depth: float = 0.25
     sil_threshold: float = 0.99
 
 
@@ -117,11 +132,85 @@ def _track_jit(model, view0, rgb, depth, cfg: RasterConfig,
     return lie.apply_twist(view0, best_xi), best_loss, losses
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "height", "width",
+                                             "tanfovx", "tanfovy"))
+def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
+                  tcfg: TrackingConfig, height, width, tanfovx, tanfovy):
+    """Gauss-Newton / Levenberg-Marquardt pose tracking.
+
+    The 6-DoF pose is a textbook small-parameter least-squares problem; a
+    damped normal-equations solve on Huber-weighted pixel residuals converges
+    in ~10 iterations where first-order methods orbit the narrow valley of
+    the silhouette-masked loss.  The residual Jacobian (Npix x 6) comes from
+    6 forward-mode passes through the pure-XLA render core (the custom-VJP
+    Pallas path stays reserved for mapping, which differentiates millions of
+    Gaussian parameters and needs reverse mode).
+    """
+    frame = Frame(rgb, depth)
+    sqc = jnp.sqrt(tcfg.w_color)
+    sqd = jnp.sqrt(tcfg.w_depth)
+
+    def residuals(xi):
+        view = lie.apply_twist(view0, xi)
+        cam = Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
+                     height=height, width=width)
+        out = render_model(model, cam, cfg, gt_depth=depth, map_off=True,
+                           use_custom_vjp=False)
+        sil = out.opacity_map[0]
+        m = jax.lax.stop_gradient(
+            (sil > tcfg.sil_threshold) & (frame.depth > 0)
+        ).astype(rgb.dtype)
+        rc = ((out.color - frame.rgb) * m[None]).reshape(-1)
+        depth_est = out.depth[0] / jnp.maximum(sil, 1e-6)
+        rd = ((depth_est - frame.depth) * m).reshape(-1)
+        return jnp.concatenate([sqc * rc, sqd * rd])
+
+    def cost_of(r):
+        w = 1.0 / jnp.sqrt(1.0 + (r / tcfg.huber) ** 2)  # Huber IRLS weight
+        return 0.5 * jnp.sum(w * r * r), w
+
+    def gn_eval(xi):
+        r = residuals(xi)
+        jac = jax.jacfwd(residuals)(xi)
+        cost, w = cost_of(r)
+        jw = jac * w[:, None]
+        return jw.T @ jac, jw.T @ r, cost
+
+    def step(carry, _):
+        xi, lam, best_xi, best_cost = carry
+        h, g, cost = gn_eval(xi)
+        better0 = cost < best_cost
+        best_xi = jnp.where(better0, xi, best_xi)
+        best_cost = jnp.where(better0, cost, best_cost)
+        dx = jnp.linalg.solve(
+            h + lam * jnp.diag(jnp.diag(h))
+            + 1e-9 * jnp.eye(6, dtype=xi.dtype), -g)
+        xi2 = xi + dx
+        cost2, _ = cost_of(residuals(xi2))
+        accept = (cost2 < cost) & jnp.all(jnp.isfinite(dx))
+        xi = jnp.where(accept, xi2, xi)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
+                        jnp.minimum(lam * 5.0, 1e3))
+        return (xi, lam, best_xi, best_cost), cost
+
+    xi0 = jnp.zeros((6,), view0.dtype)
+    init = (xi0, jnp.asarray(tcfg.lam0, view0.dtype), xi0,
+            jnp.asarray(jnp.inf, view0.dtype))
+    (xi, _, best_xi, best_cost), costs = jax.lax.scan(
+        step, init, None, length=tcfg.iters)
+    final_cost, _ = cost_of(residuals(xi))
+    better = final_cost < best_cost
+    best_xi = jnp.where(better, xi, best_xi)
+    best_cost = jnp.where(better, final_cost, best_cost)
+    return lie.apply_twist(view0, best_xi), best_cost, costs
+
+
 def track_frame(model: GaussianModel, view0, frame: Frame,
                 cfg: RasterConfig, tcfg: TrackingConfig,
                 camera_template: Camera):
     """Pose-only optimization for one frame (reference §3.3 tracking step)."""
-    return _track_jit(
+    impl = _track_gn_jit if tcfg.method == "gn" else _track_jit
+    return impl(
         model, view0, frame.rgb, frame.depth, cfg, tcfg,
         camera_template.height, camera_template.width,
         camera_template.tanfovx, camera_template.tanfovy,

@@ -15,21 +15,32 @@ Forward (per pixel, instances sorted front-to-back):
   early-termination (stop *before* accumulating once ``test_T < 1e-4``,
   forward.cu:368-373) is exactly the mask ``contrib_i = valid_i & (P_i >=
   1e-4)``, and the frozen final transmittance is ``min over contributing i of
-  P_i`` (or 1).  Blend weights are ``w_i = alpha_i * P_{i-1} * contrib_i``;
-  every output is then a plain (MXU-friendly) contraction of ``w`` with
-  per-instance features.  The median-depth crossing (T > 0.5 && test_T < 0.5,
-  forward.cu:381-388) is the mask ``contrib & (P_{i-1} > 0.5) & (P_i < 0.5)``,
-  which fires at most once per pixel by monotonicity.
+  P_i`` (or 1).  Blend weights are ``w_i = alpha_i * P_{i-1} * contrib_i``.
+  Every accumulated output is then one MXU contraction: stacking the
+  per-instance features ``[color_c.., depth, depth^2, 1]`` into a matrix F,
+  ``F @ w`` yields color/depth/weight sums and — because
+  ``(d-gt)^2 = d^2 - 2 gt d + gt^2`` with gt constant per pixel — the
+  depth-variance sum as a per-pixel recombination.  The median-depth crossing
+  (T > 0.5 && test_T < 0.5, forward.cu:381-388) is the mask
+  ``contrib & (P_{i-1} > 0.5) & (P_i < 0.5)``, which fires at most once per
+  pixel by monotonicity.
 
 Backward: the reference's back-to-front recurrences ``accum_rec``
 (backward.cu:584-612) satisfy ``accum_rec_i = S_i / (T_i (1-alpha_i))`` where
 ``S_i`` is the *strict suffix* sum of ``w*feature`` — proved by induction on
 the recurrence.  Suffix sums are forward totals minus inclusive prefix sums,
-and the totals are the forward outputs themselves, so the whole backward is a
-single forward-ordered pass with prefix sums: no sequential dependency, no
-atomics.  Per-Gaussian gradients leave as *per-instance rows* (each instance
-belongs to exactly one tile) and are segment-summed outside — a deterministic
-replacement for the reference's float atomicAdd scatter.
+and the totals are the forward outputs themselves.  Moreover, because the
+incoming cotangents are constants along the instance axis, the four feature
+streams (color channels, depth, weight, depth-variance) collapse into ONE
+scalar stream ``s_i = <features_i, pixel_cotangents>`` (an MXU matmul), so
+the whole backward is a single forward-ordered pass with ONE prefix sum —
+no [G, C, Q] tensors, no sequential dependency, no atomics.  Per-instance
+gradient reductions over pixels are expressed as moment matmuls against the
+tile-centered pixel basis ``[1, x, y, x^2, y^2, xy]`` (centering keeps the
+f32 cancellation bounded).  Per-Gaussian gradients leave as *per-instance
+rows* (each instance belongs to exactly one tile) and are segment-summed
+outside — a deterministic replacement for the reference's float atomicAdd
+scatter.
 
 All functions are pure jnp on arrays shaped [G (instances), Q (pixels)] and
 are used verbatim by the oracle renderer, the XLA tile backend, and inside
@@ -76,6 +87,10 @@ def cumsum_incl(a, axis=0):
     return a
 
 
+def _dot(a, b):
+    return jnp.matmul(a, b, preferred_element_type=a.dtype)
+
+
 def splat_alpha(xy, conic, opacity, px, py, cfg: RasterConfig):
     """Per (instance, pixel) Gaussian falloff and alpha.
 
@@ -106,12 +121,15 @@ class BlendCarry(NamedTuple):
     depth: jnp.ndarray     # accumulated sum w * depth
     weight: jnp.ndarray    # accumulated sum w  (the reference's out_alpha)
     median: jnp.ndarray    # depth at the T=0.5 crossing (0 if none)
-    var: jnp.ndarray       # accumulated sum w * (depth - gt)^2
+    var_dd: jnp.ndarray    # sum w * d_var^2   (raw moment; see finish_var)
+    var_d: jnp.ndarray     # sum w * d_var
     n_contrib: jnp.ndarray  # int32, 1-based global index of last contributor
     n_valid: jnp.ndarray   # int32, number of contributors
     midx: jnp.ndarray      # int32, global instance index of the median
                            # crossing (-1 if none yet)
-    ucross: jnp.ndarray    # (d-gt)^2 * alpha * T at the crossing (per pixel)
+    ucross_dd: jnp.ndarray  # sum cross*w * d_var^2 (raw; see finish_ucross)
+    ucross_d: jnp.ndarray   # sum cross*w * d_var
+    ucross_w: jnp.ndarray   # sum cross*w
 
 
 def init_carry(q: int, channels: int = 3, dtype=jnp.float32) -> BlendCarry:
@@ -123,12 +141,27 @@ def init_carry(q: int, channels: int = 3, dtype=jnp.float32) -> BlendCarry:
         depth=z,
         weight=z,
         median=z,
-        var=z,
+        var_dd=z,
+        var_d=z,
         n_contrib=jnp.zeros((q,), jnp.int32),
         n_valid=jnp.zeros((q,), jnp.int32),
         midx=jnp.full((q,), -1, jnp.int32),
-        ucross=jnp.zeros((q,), dtype),
+        ucross_dd=z,
+        ucross_d=z,
+        ucross_w=z,
     )
+
+
+def finish_var(carry: BlendCarry, gt):
+    """sum w*(d-gt)^2 from the raw moments: exact per-pixel recombination
+    (kept out of the chunk loop so chunking stays bit-invariant)."""
+    return carry.var_dd - 2.0 * gt * carry.var_d + gt * gt * carry.weight
+
+
+def finish_ucross(carry: BlendCarry, gt):
+    """The median-crossing uncertainty (d-gt)^2*alpha*T from raw moments."""
+    return (carry.ucross_dd - 2.0 * gt * carry.ucross_d
+            + gt * gt * carry.ucross_w)
 
 
 def blend_chunk_fwd(
@@ -139,6 +172,8 @@ def blend_chunk_fwd(
     cfg: RasterConfig,
     depth_var=None,
     global_base=None,
+    packed_rows=None,
+    want_instance_stats: bool = True,
 ):
     """Blend one front-to-back chunk of instances into the carry.
 
@@ -158,8 +193,11 @@ def blend_chunk_fwd(
     v = (valid if valid.ndim == 2 else valid[:, None]) & ok
     a_eff = jnp.where(v, 1.0 - alpha, 1.0)
     p_incl = carry.prod[None, :] * cumprod_incl(a_eff)           # [G, Q]
+    last = p_incl.shape[0] - 1  # static index (negative indexing does not
+    # lower on Pallas TPU)
     t_excl = jnp.concatenate(
-        [carry.prod[None, :], jax.lax.slice_in_dim(p_incl, 0, p_incl.shape[0] - 1, axis=0)], axis=0
+        [carry.prod[None, :],
+         jax.lax.slice_in_dim(p_incl, 0, last, axis=0)], axis=0
     )
     contrib = v & (p_incl >= cfg.t_terminate)
     w = jnp.where(contrib, alpha * t_excl, 0.0)                   # [G, Q]
@@ -168,6 +206,7 @@ def blend_chunk_fwd(
     crossf = cross.astype(w.dtype)
 
     g = xy.shape[0]
+    c = color.shape[1]
     gi = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
     idx = base_index + 1 + gi
     gidx = (base_index if global_base is None else global_base) + gi
@@ -176,26 +215,64 @@ def blend_chunk_fwd(
     # gradient-routed copy of the depths: the reference backprops the
     # 2(d-gt) w term into Gaussian means but NOT into the pose
     # (backward.cu:611 feeds dL_ddepths -> preprocess mean path only).
-    d_for_var = depth if depth_var is None else depth_var
-    du = d_for_var[:, None] - gt[None, :]
-    var_rows = w * du * du            # depth variance: every contributor
-    u_rows = crossf * var_rows        # per-Gaussian uncertainty: only the
-    # median-crossing contributor (forward.cu:386-387)
+    d_var = depth if depth_var is None else depth_var
+    cww = crossf * w
 
-    last = p_incl.shape[0] - 1  # static index (negative indexing does not
-    # lower on Pallas TPU)
+    # All weighted accumulations as ONE MXU contraction; (d-gt)^2 recombines
+    # per pixel at output time (finish_var) so raw sums stay chunk-invariant.
+    if packed_rows is not None:
+        # Pre-assembled feature rows [c.., depth, dmed, d^2, 1] (the Pallas
+        # kernels slice these straight out of the DMA'd instance block —
+        # Mosaic cannot concatenate freshly computed vectors).  The packed
+        # path shares depth's row for the d_var sum (values are identical;
+        # gradient routing is the analytic backward's job, not the primal's).
+        sums = _dot(packed_rows, w)                               # [C+4, Q]
+        depth_sum = sums[c]
+        var_d_sum = sums[c]
+        var_dd_sum = sums[c + 2]
+        w_sum = sums[c + 3]
+        med_inc = _dot(
+            jax.lax.slice_in_dim(packed_rows, c + 1, c + 2, axis=0),
+            crossf)[0]
+        ucc = _dot(jax.lax.slice_in_dim(packed_rows, c, c + 4, axis=0), cww)
+        ucc_d, ucc_dd, ucc_w = ucc[0], ucc[2], ucc[3]
+    else:
+        ones_g = jnp.ones((g,), w.dtype)
+        feats = jnp.concatenate(
+            [color.T, depth[None, :], d_var[None, :],
+             (d_var * d_var)[None, :], ones_g[None, :]], axis=0)  # [C+4, G]
+        sums = _dot(feats, w)                                     # [C+4, Q]
+        depth_sum = sums[c]
+        var_d_sum = sums[c + 1]
+        var_dd_sum = sums[c + 2]
+        w_sum = sums[c + 3]
+        med_inc = _dot(depth_med[None, :], crossf)[0]
+        ufeat = jnp.concatenate(
+            [(d_var * d_var)[None, :], d_var[None, :], ones_g[None, :]],
+            axis=0)
+        ucc = _dot(ufeat, cww)                                    # [3, Q]
+        ucc_dd, ucc_d, ucc_w = ucc[0], ucc[1], ucc[2]
+
+    if want_instance_stats:
+        # Per-instance crossing stats: moments of cww against [1, gt, gt^2].
+        ub = jnp.stack([jnp.ones_like(gt), gt, gt * gt], axis=1)  # [Q, 3]
+        bu = _dot(cww, ub)                                        # [G, 3]
+        u_inst = d_var * d_var * bu[:, 0] - 2.0 * d_var * bu[:, 1] + bu[:, 2]
+        npix_inst = jnp.sum(cross, axis=1).astype(jnp.int32)
+    else:
+        u_inst = npix_inst = None
+
     new_carry = BlendCarry(
         prod=p_incl[last],
         t_final=jnp.minimum(
             carry.t_final, jnp.min(jnp.where(contrib, p_incl, 1.0), axis=0)
         ),
-        color=carry.color + jnp.einsum(
-            "gc,gq->cq", color, w, preferred_element_type=w.dtype
-        ),
-        depth=carry.depth + jnp.sum(w * depth[:, None], axis=0),
-        weight=carry.weight + jnp.sum(w, axis=0),
-        median=carry.median + jnp.sum(crossf * depth_med[:, None], axis=0),
-        var=carry.var + jnp.sum(var_rows, axis=0),
+        color=carry.color + sums[:c],
+        depth=carry.depth + depth_sum,
+        weight=carry.weight + w_sum,
+        median=carry.median + med_inc,
+        var_dd=carry.var_dd + var_dd_sum,
+        var_d=carry.var_d + var_d_sum,
         n_contrib=jnp.maximum(
             carry.n_contrib,
             jnp.max(jnp.where(contrib, idx, 0), axis=0).astype(jnp.int32),
@@ -205,30 +282,64 @@ def blend_chunk_fwd(
             carry.midx,
             jnp.max(jnp.where(cross, gidx, -1), axis=0).astype(jnp.int32),
         ),
-        ucross=carry.ucross + jnp.sum(u_rows, axis=0),
+        ucross_dd=carry.ucross_dd + ucc_dd,
+        ucross_d=carry.ucross_d + ucc_d,
+        ucross_w=carry.ucross_w + ucc_w,
     )
-    u_inst = jnp.sum(u_rows, axis=1)
-    npix_inst = jnp.sum(cross, axis=1).astype(jnp.int32)
     return new_carry, u_inst, npix_inst
 
 
 class BlendBwdCarry(NamedTuple):
-    """Running inclusive prefix sums for the backward pass (all [Q])."""
+    """Running per-pixel state for the backward pass (all [Q]).
 
-    prod: jnp.ndarray    # same running product as forward
-    pre_c: jnp.ndarray   # [C, Q] prefix of w*color
-    pre_d: jnp.ndarray   # prefix of w*depth
-    pre_w: jnp.ndarray   # prefix of w
-    pre_v: jnp.ndarray   # prefix of w*(d-gt)^2
+    ``pre_all`` is the inclusive prefix sum of ``w_i * s_i`` where
+    ``s_i = <features_i, pixel cotangents>`` — the single fused stream that
+    replaces the per-channel/depth/weight/variance prefixes.
+    """
+
+    prod: jnp.ndarray     # same running product as forward
+    pre_all: jnp.ndarray  # prefix of w * s
 
 
 def init_bwd_carry(q: int, channels: int = 3, dtype=jnp.float32) -> BlendBwdCarry:
-    z = jnp.zeros((q,), dtype)
+    del channels
     return BlendBwdCarry(
         prod=jnp.ones((q,), dtype),
-        pre_c=jnp.zeros((channels, q), dtype),
-        pre_d=z, pre_w=z, pre_v=z,
+        pre_all=jnp.zeros((q,), dtype),
     )
+
+
+def bwd_pixel_inputs(gt, tot_c, tot_d, tot_w, tot_v, t_final,
+                     dL_dc, dL_dd, dL_dw, dL_dvar, dL_dtf, *, with_med_row):
+    """Per-pixel constants of the backward, precomputable once per tile.
+
+    Returns (pixcot [C+3(+1), Q], pixmat [C+3, Q], tot_all [Q], tfin [Q]).
+    ``with_med_row`` inserts a zero row after the depth row so pixcot lines
+    up with the kernels' packed feature rows [c.., depth, dmed, d^2, 1].
+    """
+    rows = [dL_dc, (dL_dd - 2.0 * gt * dL_dvar)[None, :]]
+    if with_med_row:
+        rows.append(jnp.zeros_like(dL_dvar)[None, :])
+    rows += [dL_dvar[None, :], (dL_dw + gt * gt * dL_dvar)[None, :]]
+    pixcot = jnp.concatenate(rows, axis=0)
+    pixmat = jnp.concatenate(
+        [dL_dc, dL_dd[None, :], dL_dvar[None, :],
+         (gt * dL_dvar)[None, :]], axis=0)
+    tot_all = (jnp.sum(dL_dc * tot_c, axis=0) + dL_dd * tot_d
+               + dL_dvar * tot_v + dL_dw * tot_w)
+    return pixcot, pixmat, tot_all, t_final * dL_dtf
+
+
+def moment_basis(px, py, origin=None):
+    """[6, Q] pixel basis [1, x, y, x^2, y^2, xy] in origin-centered coords
+    (centering bounds f32 cancellation in the moment reconstruction)."""
+    ox = px[0] if origin is None else origin[0]
+    oy = py[0] if origin is None else origin[1]
+    pxl = px - ox
+    pyl = py - oy
+    return jnp.stack(
+        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl],
+        axis=0)
 
 
 def blend_chunk_bwd(
@@ -240,6 +351,10 @@ def blend_chunk_bwd(
     # incoming cotangents (per pixel)
     dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
     cfg: RasterConfig,
+    packed_rows=None,
+    pix=None,          # precomputed bwd_pixel_inputs tuple
+    basis=None,        # precomputed moment_basis [6, Q]
+    origin=None,       # moment-centering origin (must match basis)
 ):
     """One forward-ordered backward chunk.
 
@@ -251,6 +366,7 @@ def blend_chunk_bwd(
     d_depth_var [G] (the 2(d-gt) w dL_dvar term, backward.cu:611),
     d_depth_med [G] (median crossing, backward.cu:654-664).
     """
+    G = xy.shape[0]
     dx = xy[:, 0:1] - px[None, :]
     dy = xy[:, 1:2] - py[None, :]
     A, B, C_ = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
@@ -262,88 +378,100 @@ def blend_chunk_bwd(
 
     a_eff = jnp.where(v, 1.0 - alpha, 1.0)
     p_incl = carry.prod[None, :] * cumprod_incl(a_eff)
+    last = p_incl.shape[0] - 1
     t_excl = jnp.concatenate(
-        [carry.prod[None, :], jax.lax.slice_in_dim(p_incl, 0, p_incl.shape[0] - 1, axis=0)], axis=0
+        [carry.prod[None, :],
+         jax.lax.slice_in_dim(p_incl, 0, last, axis=0)], axis=0
     )
     contrib = v & (p_incl >= cfg.t_terminate)
     contribf = contrib.astype(g.dtype)
     w = contribf * alpha * t_excl
 
-    du = depth[:, None] - gt[None, :]
-    varrow = du * du
+    # --- fused cotangent stream: s_i = <[color, d, d^2, 1]_i, pixcot> -----
+    # (d-gt)^2 expands into the per-pixel cotangent features since gt is a
+    # pixel constant; all four reference prefix streams collapse into one.
+    if pix is None:
+        pix = bwd_pixel_inputs(
+            gt, tot_c, tot_d, tot_w, tot_v, t_final,
+            dL_dc, dL_dd, dL_dw, dL_dvar, dL_dtf,
+            with_med_row=packed_rows is not None)
+    pixcot, pixmat, tot_all, tfin = pix
+    if packed_rows is not None:
+        # rows [c.., depth, dmed, d^2, 1] straight from the DMA'd block;
+        # pixcot carries a zero row for dmed
+        s = jax.lax.dot_general(
+            packed_rows, pixcot, (((0,), (0,)), ((), ())),
+            preferred_element_type=g.dtype)                       # [G, Q]
+    else:
+        feats = jnp.concatenate(
+            [color, depth[:, None], (depth * depth)[:, None],
+             jnp.ones((G, 1), g.dtype)], axis=1)                  # [G, C+3]
+        s = _dot(feats, pixcot)                                   # [G, Q]
 
-    # Inclusive prefix sums (within the full instance stream).
-    wc = w[:, None, :] * color[:, :, None]                  # [G, C, Q]
-    pre_c = carry.pre_c[None] + cumsum_incl(wc)             # [G, C, Q]
-    pre_d = carry.pre_d[None] + cumsum_incl(w * depth[:, None])
-    pre_w = carry.pre_w[None] + cumsum_incl(w)
-    pre_v = carry.pre_v[None] + cumsum_incl(w * varrow)
-
+    pre_all = carry.pre_all[None, :] + cumsum_incl(w * s)
     one_m_a = 1.0 - alpha
     inv_oma = 1.0 / jnp.where(v, one_m_a, 1.0)
 
-    # dL/dalpha_i, multiplied by T_i, with strict-suffix sums S = tot - prefix.
-    # Color channels: sum_ch dL_dc_ch * (T c_ch - S_ch/(1-a))
-    suf_c = tot_c[None] - pre_c                             # [G, C, Q]
-    # channel contraction as multiply+reduce (a [G,C,Q]x[C,Q] batched matmul
-    # does not lower on Mosaic)
-    d_alpha = jnp.sum(
-        dL_dc[None]
-        * (t_excl[:, None, :] * color[:, :, None]
-           - suf_c * inv_oma[:, None, :]),
-        axis=1,
-    )
-    d_alpha = d_alpha + dL_dd[None, :] * (
-        t_excl * depth[:, None] - (tot_d[None, :] - pre_d) * inv_oma
-    )
-    d_alpha = d_alpha + dL_dvar[None, :] * (
-        t_excl * varrow - (tot_v[None, :] - pre_v) * inv_oma
-    )
-    d_alpha = d_alpha + dL_dw[None, :] * (
-        t_excl - (tot_w[None, :] - pre_w) * inv_oma
-    )
+    # dL/dalpha_i (x T_i), with strict-suffix sums S = tot - prefix, plus the
     # t_final cotangent: d t_final / d alpha_i = -t_final/(1-alpha_i) for
     # contributing i.  With dL_dtf = bg . dL_dcolor this is exactly the
     # reference's background term (backward.cu:620-623).
-    d_alpha = d_alpha - (t_final[None, :] * inv_oma) * dL_dtf[None, :]
-    d_alpha = contribf * d_alpha
+    d_alpha = contribf * (
+        t_excl * s
+        - (tot_all[None, :] - pre_all) * inv_oma
+        - tfin[None, :] * inv_oma
+    )
 
+    # --- per-instance reductions as moment matmuls ------------------------
+    # e = d_alpha * G(x); moments against the tile-centered pixel basis
+    # [1, x, y, x^2, y^2, xy] reconstruct all dx/dy-weighted sums.
     # alpha = min(cap, op*G): like the reference, the cap is ignored in the
     # backward (backward.cu:627,678).
-    dL_dG = opacity[:, None] * d_alpha
-    gdx = g * dx
-    gdy = g * dy
-    dG_dx = -(gdx * A + gdy * B)   # d exp(power) / d xy.x
-    dG_dy = -(gdy * C_ + gdx * B)
+    cx = px[0] if origin is None else origin[0]
+    cy = py[0] if origin is None else origin[1]
+    if basis is None:
+        basis = moment_basis(px, py, origin)                      # [6, Q]
+    xgl = xy[:, 0] - cx
+    ygl = xy[:, 1] - cy
+    e = d_alpha * g
+    m = jax.lax.dot_general(
+        e, basis, (((1,), (1,)), ((), ())),
+        preferred_element_type=g.dtype)                           # [G, 6]
+    m0, m1, m2, m3, m4, m5 = (m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4],
+                              m[:, 5])
+    s_dx = xgl * m0 - m1
+    s_dy = ygl * m0 - m2
+    s_dxx = xgl * xgl * m0 - 2.0 * xgl * m1 + m3
+    s_dyy = ygl * ygl * m0 - 2.0 * ygl * m2 + m4
+    s_dxy = xgl * ygl * m0 - xgl * m2 - ygl * m1 + m5
 
+    op = opacity
+    Af, Bf, Cf = conic[:, 0], conic[:, 1], conic[:, 2]
     d_xy = jnp.stack(
-        [jnp.sum(dL_dG * dG_dx, axis=1), jnp.sum(dL_dG * dG_dy, axis=1)], -1
-    )
+        [-op * (Af * s_dx + Bf * s_dy), -op * (Cf * s_dy + Bf * s_dx)], -1)
     # True gradient w.r.t. the packed conic (A, B, C); the off-diagonal entry
     # appears once in power with coefficient -dx dy.
     d_conic = jnp.stack(
-        [
-            jnp.sum(-0.5 * gdx * dx * dL_dG, axis=1),
-            jnp.sum(-gdx * dy * dL_dG, axis=1),
-            jnp.sum(-0.5 * gdy * dy * dL_dG, axis=1),
-        ],
-        -1,
-    )
-    d_opac = jnp.sum(g * d_alpha, axis=1)
-    d_color = jnp.einsum("gq,cq->gc", w, dL_dc, preferred_element_type=g.dtype)
-    d_depth = jnp.sum(w * dL_dd[None, :], axis=1)
-    d_depth_var = jnp.sum(w * 2.0 * du * dL_dvar[None, :], axis=1)
+        [-0.5 * op * s_dxx, -op * s_dxy, -0.5 * op * s_dyy], -1)
+    d_opac = m0
+
+    # --- gradient rows: one matmul against the pixel cotangents -----------
+    r = jax.lax.dot_general(
+        w, pixmat, (((1,), (1,)), ((), ())),
+        preferred_element_type=g.dtype)                           # [G, C+3]
+    c = color.shape[1]
+    d_color = r[:, :c]
+    d_depth = r[:, c]
+    d_depth_var = 2.0 * (depth * r[:, c + 1] - r[:, c + 2])
 
     cross = contribf * (t_excl > 0.5) * (p_incl < 0.5)
-    d_depth_med = jnp.sum(cross * dL_dmed[None, :], axis=1)
+    d_depth_med = jax.lax.dot_general(
+        cross, dL_dmed, (((1,), (0,)), ((), ())),
+        preferred_element_type=g.dtype)                           # [G]
 
-    last = p_incl.shape[0] - 1
     new_carry = BlendBwdCarry(
         prod=p_incl[last],
-        pre_c=pre_c[last],
-        pre_d=pre_d[last],
-        pre_w=pre_w[last],
-        pre_v=pre_v[last],
+        pre_all=pre_all[last],
     )
     return new_carry, (d_xy, d_conic, d_opac, d_color, d_depth,
                        d_depth_var, d_depth_med)

@@ -63,12 +63,20 @@ def _pixel_vectors(tile_idx, tiles_x, th, tw, height, width):
 
 
 def pack_instances(xy, conic, opac, color, depth, depth_med):
-    """[I, features] -> [I // BLOCK, FEAT, BLOCK] feature-planar blocks."""
+    """[I, features] -> [I // BLOCK, FEAT, BLOCK] feature-planar blocks.
+
+    Rows: x, y, A, B, C, opac, r, g, b, depth, depth_med, depth^2, 1, pad.
+    Rows 6..12 are exactly the blend matmul's feature rows ([c.., depth,
+    dmed, d^2, 1]) so kernels can slice them contiguously — Mosaic cannot
+    concatenate freshly computed vectors in-kernel.
+    """
     i = xy.shape[0]
     assert i % BLOCK == 0, "instance stream must be BLOCK-aligned"
     flat = jnp.concatenate(
         [xy, conic, opac[:, None], color, depth[:, None],
-         depth_med[:, None], jnp.zeros((i, FEAT - 11), xy.dtype)],
+         depth_med[:, None], (depth * depth)[:, None],
+         jnp.ones((i, 1), xy.dtype),
+         jnp.zeros((i, FEAT - 13), xy.dtype)],
         axis=1,
     )
     return jnp.transpose(flat.reshape(i // BLOCK, BLOCK, FEAT), (0, 2, 1))
@@ -125,43 +133,63 @@ def _fwd_kernel(
     carry0 = blend.init_carry(q, 3, jnp.float32)
     n_blocks = pl.cdiv(stop - start, BLOCK)
 
+    def read_dma(k):
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
+            data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+            sems.at[jax.lax.rem(k, 2)],
+        )
+
+    @pl.when(n_blocks > 0)
+    def _():
+        read_dma(0).start()
+
     def cond(state):
         k, carry = state
         return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
 
     def body(state):
         k, carry = state
-        row = start // BLOCK + k
-        dma = pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(row, 1)], data_scr, sems.at[0]
-        )
-        dma.start()
-        dma.wait()
-        block = data_scr[0]
+
+        # double buffering: next block's fetch overlaps this block's compute
+        @pl.when(k + 1 < n_blocks)
+        def _():
+            read_dma(k + 1).start()
+
+        read_dma(k).wait()
+        block = data_scr[jax.lax.rem(k, 2)]
         for c in range(n_sub):
             xy, conic, opac, color, depth, dmed = _features(block, c, sub)
+            packed = jax.lax.slice(block, (6, c * sub), (13, (c + 1) * sub))
             off = k * BLOCK + c * sub
             gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
             valid = ((off + gi) < (stop - start)) & pixmask[None, :]
             carry, _, _ = blend.blend_chunk_fwd(
                 carry, xy, conic, opac, color, depth, dmed, valid,
                 px, py, gt, off, cfg, global_base=start + off,
+                packed_rows=packed, want_instance_stats=False,
             )
         return k + 1, carry
 
-    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+    kf, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+    # early termination can leave one prefetched block in flight; drain it so
+    # the semaphore is clean for the next grid step
+    @pl.when(kf < n_blocks)
+    def _():
+        read_dma(kf).wait()
 
     th, tw = cfg.tile_h, cfg.tile_w
     color_ref[0] = carry.color.reshape(3, th, tw)
     depth_ref[0] = carry.depth.reshape(th, tw)
     weight_ref[0] = carry.weight.reshape(th, tw)
     median_ref[0] = carry.median.reshape(th, tw)
-    var_ref[0] = carry.var.reshape(th, tw)
+    var_ref[0] = blend.finish_var(carry, gt).reshape(th, tw)
     tfinal_ref[0] = carry.t_final.reshape(th, tw)
     ncon_ref[0] = carry.n_contrib.reshape(th, tw)
     nval_ref[0] = carry.n_valid.reshape(th, tw)
     midx_ref[0] = carry.midx.reshape(th, tw)
-    ucross_ref[0] = carry.ucross.reshape(th, tw)
+    ucross_ref[0] = blend.finish_ucross(carry, gt).reshape(th, tw)
 
 
 def core_fwd(
@@ -199,8 +227,8 @@ def core_fwd(
         ],
         out_specs=(tile3_spec,) + (tile_spec,) * 9,
         scratch_shapes=[
-            pltpu.VMEM((1, FEAT, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -256,9 +284,8 @@ def core_fwd(
 
 def _bwd_kernel(
     start_ref, stop_ref, tidx_ref,
-    packed_hbm, gt_ref,
-    totc_ref, totd_ref, totw_ref, totv_ref, tf_ref,
-    dc_ref, dd_ref, dw_ref, dv_ref, dm_ref, dtf_ref,
+    packed_hbm, pixcot_ref, pixmat_ref, totall_ref, tfin_ref, dm_ref,
+    basis_ref,
     rows_init,
     rows_out,
     data_scr, rows_scr, sems,
@@ -274,21 +301,37 @@ def _bwd_kernel(
     px, py, pixmask = _pixel_vectors(
         tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
     )
-    gt = gt_ref[0].reshape(q)
-    tot_c = totc_ref[0].reshape(3, q)
-    tot_d = totd_ref[0].reshape(q)
-    tot_w = totw_ref[0].reshape(q)
-    tot_v = totv_ref[0].reshape(q)
-    t_final = tf_ref[0].reshape(q)
-    dl_dc = dc_ref[0].reshape(3, q)
-    dl_dd = dd_ref[0].reshape(q)
-    dl_dw = dw_ref[0].reshape(q)
-    dl_dv = dv_ref[0].reshape(q)
+    # moment-centering origin = tile corner (matches the shared local basis)
+    tx = tidx_ref[t] % tiles_x
+    ty = tidx_ref[t] // tiles_x
+    origin = ((tx * cfg.tile_w).astype(jnp.float32),
+              (ty * cfg.tile_h).astype(jnp.float32))
+    # per-tile pixel constants, precomputed on the XLA side
+    pix = (pixcot_ref[0], pixmat_ref[0], totall_ref[0].reshape(q),
+           tfin_ref[0].reshape(q))
+    basis = basis_ref[:].reshape(6, q)
     dl_dm = dm_ref[0].reshape(q)
-    dl_dtf = dtf_ref[0].reshape(q)
 
     carry0 = blend.init_bwd_carry(q, 3, jnp.float32)
     n_blocks = pl.cdiv(stop - start, BLOCK)
+
+    def read_dma(k):
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
+            data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+            sems.at[jax.lax.rem(k, 2)],
+        )
+
+    def write_dma(k):
+        return pltpu.make_async_copy(
+            rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+            rows_out.at[pl.ds(start // BLOCK + k, 1)],
+            sems.at[2 + jax.lax.rem(k, 2)],
+        )
+
+    @pl.when(n_blocks > 0)
+    def _():
+        read_dma(0).start()
 
     def cond(state):
         k, carry = state
@@ -296,45 +339,63 @@ def _bwd_kernel(
 
     def body(state):
         k, carry = state
-        row = start // BLOCK + k
-        dma = pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(row, 1)], data_scr, sems.at[0]
-        )
-        dma.start()
-        dma.wait()
-        block = data_scr[0]
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_blocks)
+        def _():
+            read_dma(k + 1).start()
+
+        read_dma(k).wait()
+        # the gradient-row write two blocks ago reused this slot: drain it
+        @pl.when(k >= 2)
+        def _():
+            write_dma(k - 2).wait()
+
+        block = data_scr[slot]
         for c in range(n_sub):
             xy, conic, opac, color, depth, _ = _features(block, c, sub)
+            packed = jax.lax.slice(block, (6, c * sub), (13, (c + 1) * sub))
             off = k * BLOCK + c * sub
             gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
             valid = ((off + gi) < (stop - start)) & pixmask[None, :]
             carry, rows = blend.blend_chunk_bwd(
-                carry, xy, conic, opac, color, depth, valid, px, py, gt,
-                tot_c, tot_d, tot_w, tot_v, t_final,
-                dl_dc, dl_dd, dl_dw, dl_dv, dl_dm, dl_dtf, cfg,
+                carry, xy, conic, opac, color, depth, valid, px, py, None,
+                None, None, None, None, None,
+                None, None, None, None, dl_dm, None, cfg,
+                packed_rows=packed, pix=pix, basis=basis, origin=origin,
             )
             d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = rows
             sl = pl.ds(c * sub, sub)
-            rows_scr[0, 0, sl] = d_xy[:, 0]
-            rows_scr[0, 1, sl] = d_xy[:, 1]
-            rows_scr[0, 2, sl] = d_conic[:, 0]
-            rows_scr[0, 3, sl] = d_conic[:, 1]
-            rows_scr[0, 4, sl] = d_conic[:, 2]
-            rows_scr[0, 5, sl] = d_opac
-            rows_scr[0, 6, sl] = d_color[:, 0]
-            rows_scr[0, 7, sl] = d_color[:, 1]
-            rows_scr[0, 8, sl] = d_color[:, 2]
-            rows_scr[0, 9, sl] = d_depth
-            rows_scr[0, 10, sl] = d_dvar
-            rows_scr[0, 11, sl] = d_dmed
-        dr = pltpu.make_async_copy(
-            rows_scr, rows_out.at[pl.ds(row, 1)], sems.at[1]
-        )
-        dr.start()
-        dr.wait()
+            rows_scr[slot, 0, sl] = d_xy[:, 0]
+            rows_scr[slot, 1, sl] = d_xy[:, 1]
+            rows_scr[slot, 2, sl] = d_conic[:, 0]
+            rows_scr[slot, 3, sl] = d_conic[:, 1]
+            rows_scr[slot, 4, sl] = d_conic[:, 2]
+            rows_scr[slot, 5, sl] = d_opac
+            rows_scr[slot, 6, sl] = d_color[:, 0]
+            rows_scr[slot, 7, sl] = d_color[:, 1]
+            rows_scr[slot, 8, sl] = d_color[:, 2]
+            rows_scr[slot, 9, sl] = d_depth
+            rows_scr[slot, 10, sl] = d_dvar
+            rows_scr[slot, 11, sl] = d_dmed
+        write_dma(k).start()
         return k + 1, carry
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+    kf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+    # drain: an early-terminated loop leaves one read prefetch and up to two
+    # row writes in flight
+    @pl.when(kf < n_blocks)
+    def _():
+        read_dma(kf).wait()
+
+    @pl.when(kf >= 2)
+    def _():
+        write_dma(kf - 2).wait()
+
+    @pl.when(kf >= 1)
+    def _():
+        write_dma(kf - 1).wait()
 
 
 def core_bwd(
@@ -360,27 +421,47 @@ def core_bwd(
     packed = pack_instances(xy, conic, opac, color, depth,
                             jnp.zeros_like(depth))
 
+    # per-tile pixel constants (fused cotangent stream inputs), computed once
+    # here on the XLA side — in-kernel they would need vector concatenation,
+    # which Mosaic cannot lower
+    q = cfg.tile_px
+    pixcot, pixmat, tot_all, tfin = jax.vmap(
+        lambda gt_, tc, td, tw_, tv, tf, dc, dd, dw, dv, dtf:
+        blend.bwd_pixel_inputs(gt_, tc, td, tw_, tv, tf, dc, dd, dw, dv,
+                               dtf, with_med_row=True)
+    )(gt_tiles.reshape(t, q), tot_c.reshape(t, 3, q), tot_d.reshape(t, q),
+      tot_w.reshape(t, q), tot_v.reshape(t, q), t_final.reshape(t, q),
+      dL_dc.reshape(t, 3, q), dL_dd.reshape(t, q), dL_dw.reshape(t, q),
+      dL_dvar.reshape(t, q), dL_dtf.reshape(t, q))
+
+    # shared tile-local moment basis (same pattern for every tile)
+    qx = jnp.tile(jnp.arange(tw, dtype=jnp.float32), th)
+    qy = jnp.repeat(jnp.arange(th, dtype=jnp.float32), tw)
+    basis = blend.moment_basis(qx, qy, origin=(0.0, 0.0))         # [6, q]
+
+    flat_spec = lambda k: pl.BlockSpec((1, k, q), lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    tile3_spec = pl.BlockSpec((1, 3, th, tw), lambda i, *_: (i, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # packed
-            tile_spec,                               # gt
-            tile3_spec, tile_spec, tile_spec, tile_spec, tile_spec,  # totals
-            tile3_spec, tile_spec, tile_spec, tile_spec, tile_spec,
-            tile_spec,                               # cotangents
+            flat_spec(7),                            # pixcot
+            flat_spec(6),                            # pixmat
+            tile_spec,                               # tot_all
+            tile_spec,                               # tfin
+            tile_spec,                               # dL_dmed
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # basis (shared)
             pl.BlockSpec(memory_space=pltpu.HBM),   # rows init (zeros)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((1, FEAT, BLOCK), jnp.float32),
-            pltpu.VMEM((1, FEAT, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # read double-buffer
+            pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # write double-buffer
+            pltpu.SemaphoreType.DMA((4,)),              # 2 read + 2 write
         ],
     )
 
@@ -392,17 +473,13 @@ def core_bwd(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, FEAT, BLOCK), jnp.float32),
-        input_output_aliases={16: 0},
+        input_output_aliases={10: 0},
         interpret=interpret,
     )(
         tile_start, tile_stop, tile_index, packed,
-        gt_tiles.reshape(t, th, tw),
-        tot_c.reshape(t, 3, th, tw), tot_d.reshape(t, th, tw),
-        tot_w.reshape(t, th, tw), tot_v.reshape(t, th, tw),
-        t_final.reshape(t, th, tw),
-        dL_dc.reshape(t, 3, th, tw), dL_dd.reshape(t, th, tw),
-        dL_dw.reshape(t, th, tw), dL_dvar.reshape(t, th, tw),
-        dL_dmed.reshape(t, th, tw), dL_dtf.reshape(t, th, tw),
+        pixcot, pixmat,
+        tot_all.reshape(t, th, tw), tfin.reshape(t, th, tw),
+        dL_dmed.reshape(t, th, tw), basis,
         jnp.zeros((n_rows, FEAT, BLOCK), jnp.float32),
     )
     flat = jnp.transpose(rows, (0, 2, 1)).reshape(i_total, FEAT)

@@ -150,7 +150,8 @@ def render_oracle(
     gau_u = jnp.zeros((p,), dtype).at[order].add(jax.lax.stop_gradient(u_sorted))
     gau_npix = jnp.zeros((p,), jnp.int32).at[order].add(npix_sorted)
 
-    depth_var = unchunk(carries.var)
+    depth_var = unchunk(blend.finish_var(
+        carries, gt_all.reshape(n_chunks, chunk)))
     if cfg.ref_depth_var:
         # light forward.cu:317,410: D_var is declared but never accumulated.
         depth_var = jnp.zeros_like(depth_var)

@@ -117,11 +117,11 @@ def core_fwd_xla(
             prod=jnp.ones((tb, q), dtype) + vzf,
             t_final=jnp.ones((tb, q), dtype) + vzf,
             color=jnp.zeros((tb, channels, q), dtype) + vzf, depth=z,
-            weight=z, median=z, var=z,
+            weight=z, median=z, var_dd=z, var_d=z,
             n_contrib=jnp.zeros((tb, q), jnp.int32) + vzi,
             n_valid=jnp.zeros((tb, q), jnp.int32) + vzi,
             midx=jnp.full((tb, q), -1, jnp.int32) + vzi,
-            ucross=z,
+            ucross_dd=z, ucross_d=z, ucross_w=z,
         )
         maxcnt = jnp.max(stop - start)
 
@@ -153,8 +153,8 @@ def core_fwd_xla(
             jnp.arange(n_chunks, dtype=jnp.int32) * g,
         )
         ys = (carry.color, carry.depth, carry.weight, carry.median,
-              carry.var, carry.t_final, carry.n_contrib, carry.n_valid,
-              carry.midx)
+              blend.finish_var(carry, gt_t), carry.t_final,
+              carry.n_contrib, carry.n_valid, carry.midx)
         return (u_acc, np_acc), ys
 
     vzf0 = _vzero(gt_p, dtype)
@@ -234,10 +234,7 @@ def core_bwd_xla(
         vzf = _vzero(gt_t, dtype)
         carry0 = blend.BlendBwdCarry(
             prod=jnp.ones((tb, q), dtype) + vzf,
-            pre_c=jnp.zeros((tb, channels, q), dtype) + vzf,
-            pre_d=jnp.zeros((tb, q), dtype) + vzf,
-            pre_w=jnp.zeros((tb, q), dtype) + vzf,
-            pre_v=jnp.zeros((tb, q), dtype) + vzf,
+            pre_all=jnp.zeros((tb, q), dtype) + vzf,
         )
         maxcnt = jnp.max(stop - start)
 

@@ -100,7 +100,8 @@ def test_analytic_bwd_matches_autodiff(splits, seed):
             carry, xy, conic, opac, color, depth, dmed, d["valid"],
             d["px"], d["py"], d["gt"], jnp.int32(0), CFG,
         )
-        vals = (carry.color, carry.depth, carry.weight, carry.var,
+        vals = (carry.color, carry.depth, carry.weight,
+                blend.finish_var(carry, d["gt"]),
                 carry.median, carry.t_final)
         return sum(jnp.sum(c * v) for c, v in
                    zip((cot[0], cot[1], cot[2], cot[3], cot[4], cot[5]),
@@ -110,8 +111,8 @@ def test_analytic_bwd_matches_autodiff(splits, seed):
         d["xy"], d["conic"], d["opac"], d["color"], d["depth"], d["depth"]
     )
     carry, _, _ = run_fwd(d, [])
-    totals = (carry.color, carry.depth, carry.weight, carry.var,
-              carry.t_final)
+    totals = (carry.color, carry.depth, carry.weight,
+              blend.finish_var(carry, d["gt"]), carry.t_final)
     rows = run_bwd(d, cot, totals, splits)
     d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = rows
     pairs = [

@@ -31,7 +31,7 @@ def test_slam_end_to_end_tracks_synthetic_sequence():
 
     scfg = SLAMConfig(
         raster=cfg,
-        tracking=TrackingConfig(iters=25, lr=4e-3, sil_threshold=0.7),
+        tracking=TrackingConfig(iters=10, sil_threshold=0.7),
         mapping=MappingConfig(iters=10),
         capacity=4096,
         keyframe_every=4,

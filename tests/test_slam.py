@@ -56,7 +56,7 @@ def test_tracking_recovers_pose():
     view0 = lie.apply_twist(true_view, xi)
     r0, t0 = pose_error(view0, true_view)
 
-    tcfg = TrackingConfig(iters=60, lr=3e-3, sil_threshold=0.95)
+    tcfg = TrackingConfig(iters=12, sil_threshold=0.95)
     view_opt, best_loss, losses = track_frame(
         model, view0, frames[1], CFG, tcfg, CAM_T)
     r1, t1 = pose_error(view_opt, true_view)
