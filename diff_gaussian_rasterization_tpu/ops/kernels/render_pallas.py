@@ -51,9 +51,18 @@ def _is_cpu():
 
 
 def _pixel_vectors(tile_idx, tiles_x, th, tw, height, width):
-    """px, py [Q] float32 and pixel-validity mask [Q] for one tile."""
-    qx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).reshape(th * tw)
-    qy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).reshape(th * tw)
+    """px, py [Q] float32 and pixel-validity mask [Q] for one tile.
+
+    Built over a (Q//128, 128) grid (the native vreg layout, so the flatten
+    is a no-op) rather than (th, tw), which Mosaic cannot reshape when
+    tw != 128.
+    """
+    q = th * tw
+    # (1, q)-shaped iota reshapes to 1-D; (q//128, 128) -> (q,) does not
+    # lower in Mosaic for q < 1024
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1).reshape(q)
+    qx = qi % tw
+    qy = qi // tw
     tx = tile_idx % tiles_x
     ty = tile_idx // tiles_x
     pxi = tx * tw + qx
@@ -128,7 +137,7 @@ def _fwd_kernel(
     px, py, pixmask = _pixel_vectors(
         tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
     )
-    gt = gt_ref[0].reshape(q)
+    gt = gt_ref[0, 0]
 
     carry0 = blend.init_carry(q, 3, jnp.float32)
     n_blocks = pl.cdiv(stop - start, BLOCK)
@@ -179,17 +188,16 @@ def _fwd_kernel(
     def _():
         read_dma(kf).wait()
 
-    th, tw = cfg.tile_h, cfg.tile_w
-    color_ref[0] = carry.color.reshape(3, th, tw)
-    depth_ref[0] = carry.depth.reshape(th, tw)
-    weight_ref[0] = carry.weight.reshape(th, tw)
-    median_ref[0] = carry.median.reshape(th, tw)
-    var_ref[0] = blend.finish_var(carry, gt).reshape(th, tw)
-    tfinal_ref[0] = carry.t_final.reshape(th, tw)
-    ncon_ref[0] = carry.n_contrib.reshape(th, tw)
-    nval_ref[0] = carry.n_valid.reshape(th, tw)
-    midx_ref[0] = carry.midx.reshape(th, tw)
-    ucross_ref[0] = blend.finish_ucross(carry, gt).reshape(th, tw)
+    color_ref[0] = carry.color
+    depth_ref[0, 0] = carry.depth
+    weight_ref[0, 0] = carry.weight
+    median_ref[0, 0] = carry.median
+    var_ref[0, 0] = blend.finish_var(carry, gt)
+    tfinal_ref[0, 0] = carry.t_final
+    ncon_ref[0, 0] = carry.n_contrib
+    nval_ref[0, 0] = carry.n_valid
+    midx_ref[0, 0] = carry.midx
+    ucross_ref[0, 0] = blend.finish_ucross(carry, gt)
 
 
 def core_fwd(
@@ -204,16 +212,19 @@ def core_fwd(
         interpret = _is_cpu()
     t = tile_start.shape[0]
     q = cfg.tile_px
-    th, tw = cfg.tile_h, cfg.tile_w
+    assert q % 128 == 0, "tile_h*tile_w must be a multiple of 128"
     sub = min(cfg.chunk, BLOCK)
     assert BLOCK % sub == 0
     i_total = xy.shape[0]
 
     packed = pack_instances(xy, conic, opac, color, depth, depth_med)
 
-    tile_spec = pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
+    # tile tensors travel as [T, k, q] (block dims equal to array dims are
+    # always legal; in-kernel no reshapes are needed); the (th, tw) spatial
+    # view is reassembled outside the kernel
+    tile_spec = pl.BlockSpec((1, 1, q), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    tile3_spec = pl.BlockSpec((1, 3, th, tw), lambda i, *_: (i, 0, 0, 0),
+    tile3_spec = pl.BlockSpec((1, 3, q), lambda i, *_: (i, 0, 0),
                               memory_space=pltpu.VMEM)
 
     if tile_index is None:
@@ -241,23 +252,24 @@ def core_fwd(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((t, 3, th, tw), f32),     # color
-            jax.ShapeDtypeStruct((t, th, tw), f32),        # depth
-            jax.ShapeDtypeStruct((t, th, tw), f32),        # weight
-            jax.ShapeDtypeStruct((t, th, tw), f32),        # median
-            jax.ShapeDtypeStruct((t, th, tw), f32),        # var
-            jax.ShapeDtypeStruct((t, th, tw), f32),        # t_final
-            jax.ShapeDtypeStruct((t, th, tw), jnp.int32),  # n_contrib
-            jax.ShapeDtypeStruct((t, th, tw), jnp.int32),  # n_valid
-            jax.ShapeDtypeStruct((t, th, tw), jnp.int32),  # midx
-            jax.ShapeDtypeStruct((t, th, tw), f32),        # ucross
+            jax.ShapeDtypeStruct((t, 3, q), f32),        # color
+            jax.ShapeDtypeStruct((t, 1, q), f32),        # depth
+            jax.ShapeDtypeStruct((t, 1, q), f32),        # weight
+            jax.ShapeDtypeStruct((t, 1, q), f32),        # median
+            jax.ShapeDtypeStruct((t, 1, q), f32),        # var
+            jax.ShapeDtypeStruct((t, 1, q), f32),        # t_final
+            jax.ShapeDtypeStruct((t, 1, q), jnp.int32),  # n_contrib
+            jax.ShapeDtypeStruct((t, 1, q), jnp.int32),  # n_valid
+            jax.ShapeDtypeStruct((t, 1, q), jnp.int32),  # midx
+            jax.ShapeDtypeStruct((t, 1, q), f32),        # ucross
         ),
         interpret=interpret,
     )(tile_start, tile_stop, tile_index, packed,
-      gt_tiles.reshape(t, th, tw))
+      gt_tiles.reshape(t, 1, q))
 
     (c, d, wgt, med, var, tf, ncon, nval, midx, ucross) = out
-    flat = lambda x: x.reshape(x.shape[0], *x.shape[1:-2], q)
+    flat = lambda x: x.reshape(x.shape[0], q) if x.ndim == 3 and \
+        x.shape[1] == 1 else x
     midx = flat(midx)
     ucross = flat(ucross)
 
@@ -307,10 +319,9 @@ def _bwd_kernel(
     origin = ((tx * cfg.tile_w).astype(jnp.float32),
               (ty * cfg.tile_h).astype(jnp.float32))
     # per-tile pixel constants, precomputed on the XLA side
-    pix = (pixcot_ref[0], pixmat_ref[0], totall_ref[0].reshape(q),
-           tfin_ref[0].reshape(q))
-    basis = basis_ref[:].reshape(6, q)
-    dl_dm = dm_ref[0].reshape(q)
+    pix = (pixcot_ref[0], pixmat_ref[0], totall_ref[0, 0], tfin_ref[0, 0])
+    basis = basis_ref[:]
+    dl_dm = dm_ref[0, 0]
 
     carry0 = blend.init_bwd_carry(q, 3, jnp.float32)
     n_blocks = pl.cdiv(stop - start, BLOCK)
@@ -441,8 +452,7 @@ def core_bwd(
 
     flat_spec = lambda k: pl.BlockSpec((1, k, q), lambda i, *_: (i, 0, 0),
                                        memory_space=pltpu.VMEM)
-    tile_spec = pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
+    tile_spec = flat_spec(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -478,8 +488,8 @@ def core_bwd(
     )(
         tile_start, tile_stop, tile_index, packed,
         pixcot, pixmat,
-        tot_all.reshape(t, th, tw), tfin.reshape(t, th, tw),
-        dL_dmed.reshape(t, th, tw), basis,
+        tot_all.reshape(t, 1, q), tfin.reshape(t, 1, q),
+        dL_dmed.reshape(t, 1, q), basis,
         jnp.zeros((n_rows, FEAT, BLOCK), jnp.float32),
     )
     flat = jnp.transpose(rows, (0, 2, 1)).reshape(i_total, FEAT)

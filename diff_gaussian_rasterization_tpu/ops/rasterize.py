@@ -213,9 +213,9 @@ def rasterize(
 
     backend = backend or cfg.backend
     if backend == "auto":
-        # Mosaic requires 128-lane tile shapes; small tiles fall back to XLA
+        # Pallas tiles must flatten to whole 128-lane vregs
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = "pallas" if on_tpu and cfg.tile_w == 128 else "xla"
+        backend = "pallas" if on_tpu and cfg.tile_px % 128 == 0 else "xla"
 
     if not use_custom_vjp:
         backend = "xla"
