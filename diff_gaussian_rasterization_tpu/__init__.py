@@ -74,11 +74,22 @@ class GaussianRasterizationSettings(NamedTuple):
 
 class GaussianRasterizer:
     """Object-style wrapper mirroring the reference ``GaussianRasterizer``
-    (light __init__.py:197-248).  Stateless; prefer ``rasterize`` directly in
-    jitted code."""
+    (light __init__.py:197-248; full __init__.py:167-218 via
+    ``variant="full"``).  Stateless; prefer ``rasterize`` directly in jitted
+    code.
+
+    ``variant="light"`` (default) returns the light package's 8-tuple;
+    ``variant="full"`` returns the full package's 4-tuple ``(color, radii,
+    depth, uncertainty)`` — the "uncertainty" image being the silhouette
+    map, per the reference quirk (full forward.cu:367,394) — and enables
+    the full pose-Jacobian branches (SH/campos and Sigma2D)."""
 
     def __init__(self, raster_settings: GaussianRasterizationSettings,
-                 config: RasterConfig = DEFAULT_CONFIG):
+                 config: RasterConfig = DEFAULT_CONFIG,
+                 variant: str = "light"):
+        if variant == "full":
+            config = config.full_variant()
+        self.variant = variant
         self.raster_settings = raster_settings
         self.config = config
 
@@ -107,7 +118,7 @@ class GaussianRasterizer:
             raise ValueError(
                 "Please provide exactly one of either scale/rotation pair "
                 "or precomputed 3D covariance!")
-        return rasterize_gaussians(
+        out = rasterize_gaussians(
             means3D=means3D, shs=shs, colors_precomp=colors_precomp,
             opacities=opacities, scales=scales, rotations=rotations,
             cov3Ds_precomp=cov3D_precomp,
@@ -115,6 +126,12 @@ class GaussianRasterizer:
                         else s.viewmatrix),
             gt_depth=gt_depth, raster_settings=s, config=self.config,
         )
+        if self.variant == "full":
+            # full ext returns (color, radii, depth, uncertainty) where
+            # "uncertainty" is the silhouette (full rasterize_points.cu:119,
+            # forward.cu:367,394); opacity_map is index 5 of the light tuple
+            return out[0], out[1], out[2], out[5]
+        return out
 
 
 def rasterize_gaussians(
@@ -150,8 +167,7 @@ def rasterize_gaussians(
         x = jnp.asarray(x)
         return None if x.size == 0 else x
 
-    out = rasterize(
-        jnp.asarray(means3D), cam, config,
+    kwargs = dict(
         opacities=jnp.asarray(opacities),
         scales=none_if_empty(scales),
         rotations=none_if_empty(rotations),
@@ -165,6 +181,46 @@ def rasterize_gaussians(
         track_off=bool(s.track_off),
         map_off=bool(s.map_off),
     )
+    try:
+        out = rasterize(jnp.asarray(means3D), cam, config, **kwargs)
+        if s.debug:
+            # eager finiteness check — the functional analogue of the
+            # reference's CHECK_CUDA-after-every-stage debug mode
+            # (light auxiliary.h:166-173, rasterizer_impl.cu:254-347)
+            bad = [n for n in ("color", "depth", "opacity_map")
+                   if not bool(jnp.all(jnp.isfinite(getattr(out, n))))]
+            if bad:
+                raise FloatingPointError(
+                    f"non-finite render outputs: {bad}")
+    except Exception:
+        if s.debug:
+            # crash forensics: dump the inputs for offline reproduction
+            # (light __init__.py:90-97 dumps snapshot_fw.dump)
+            _dump_snapshot("snapshot_fw.dump", means3D=means3D,
+                           viewmatrix=viewmatrix, settings=s, **kwargs)
+            print("\nAn error occurred in the rasterizer forward. "
+                  "Inputs written to snapshot_fw.dump for debugging.")
+        raise
     return (out.color, out.radii, out.depth, out.depth_median,
             out.depth_var, out.opacity_map, out.gau_uncertainty,
             out.gau_related_pixels)
+
+
+def _dump_snapshot(path, **arrays):
+    """Pickle host copies of the op inputs (light __init__.py:17-19
+    ``cpu_deep_copy_tuple`` + torch.save)."""
+    import pickle
+
+    import numpy as np
+
+    host = {}
+    for k, v in arrays.items():
+        if v is None or isinstance(v, (int, float, bool, str)):
+            host[k] = v
+        elif hasattr(v, "_asdict"):
+            host[k] = {kk: (np.asarray(vv) if hasattr(vv, "shape") else vv)
+                       for kk, vv in v._asdict().items()}
+        else:
+            host[k] = np.asarray(v)
+    with open(path, "wb") as f:
+        pickle.dump(host, f)

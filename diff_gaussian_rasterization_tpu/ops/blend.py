@@ -91,7 +91,38 @@ def _dot(a, b):
     return jnp.matmul(a, b, preferred_element_type=a.dtype)
 
 
-def splat_alpha(xy, conic, opacity, px, py, cfg: RasterConfig):
+def splat_power(xy, conic, px, py, basis=None, origin=None):
+    """Per (instance, pixel) Gaussian exponent ``power`` [G, Q].
+
+    Direct form: ``-0.5(A dx^2 + C dy^2) - B dx dy`` (forward.cu:351-353).
+
+    With ``basis`` (the [6, Q] tile-local pixel basis from
+    ``moment_basis``): the same quadratic expanded in pixel coordinates,
+    ``power = coeffs[G, 6] @ basis`` — one MXU contraction instead of ~9
+    VPU ops per (instance, pixel).  ``origin`` must match the basis
+    centering; tile-local coordinates bound the f32 cancellation of the
+    expansion to ~1e-4 in power (i.e. ~1e-4 relative in alpha).
+    """
+    A, B, C = conic[:, 0], conic[:, 1], conic[:, 2]
+    if basis is None:
+        dx = xy[:, 0:1] - px[None, :]
+        dy = xy[:, 1:2] - py[None, :]
+        return (-0.5 * (A[:, None] * dx * dx + C[:, None] * dy * dy)
+                - B[:, None] * dx * dy)
+    xg = xy[:, 0] - origin[0]
+    yg = xy[:, 1] - origin[1]
+    coeffs = jnp.stack(
+        [-0.5 * A * xg * xg - 0.5 * C * yg * yg - B * xg * yg,
+         A * xg + B * yg,
+         C * yg + B * xg,
+         -0.5 * A,
+         -0.5 * C,
+         -B], axis=1)                                             # [G, 6]
+    return _dot(coeffs, basis)                                    # [G, Q]
+
+
+def splat_alpha(xy, conic, opacity, px, py, cfg: RasterConfig,
+                basis=None, origin=None):
     """Per (instance, pixel) Gaussian falloff and alpha.
 
     Args:
@@ -102,10 +133,7 @@ def splat_alpha(xy, conic, opacity, px, py, cfg: RasterConfig):
       alpha [G, Q], ok [G, Q] (power<=0 and alpha>=alpha_min;
       forward.cu:356-366).
     """
-    dx = xy[:, 0:1] - px[None, :]
-    dy = xy[:, 1:2] - py[None, :]
-    A, B, C = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
-    power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+    power = splat_power(xy, conic, px, py, basis, origin)
     g = jnp.exp(power)
     alpha = jnp.minimum(cfg.alpha_cap, opacity[:, None] * g)
     ok = (power <= 0.0) & (alpha >= cfg.alpha_min)
@@ -174,6 +202,8 @@ def blend_chunk_fwd(
     global_base=None,
     packed_rows=None,
     want_instance_stats: bool = True,
+    basis=None,
+    origin=None,
 ):
     """Blend one front-to-back chunk of instances into the carry.
 
@@ -189,7 +219,7 @@ def blend_chunk_fwd(
       (new_carry, u_inst [G], npix_inst [G]) — per-instance uncertainty and
       related-pixel counts from the median crossing (forward.cu:386-387).
     """
-    alpha, ok = splat_alpha(xy, conic, opacity, px, py, cfg)
+    alpha, ok = splat_alpha(xy, conic, opacity, px, py, cfg, basis, origin)
     v = (valid if valid.ndim == 2 else valid[:, None]) & ok
     a_eff = jnp.where(v, 1.0 - alpha, 1.0)
     p_incl = carry.prod[None, :] * cumprod_incl(a_eff)           # [G, Q]
@@ -367,10 +397,12 @@ def blend_chunk_bwd(
     d_depth_med [G] (median crossing, backward.cu:654-664).
     """
     G = xy.shape[0]
-    dx = xy[:, 0:1] - px[None, :]
-    dy = xy[:, 1:2] - py[None, :]
-    A, B, C_ = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
-    power = -0.5 * (A * dx * dx + C_ * dy * dy) - B * dx * dy
+    # Direct power form (must match the forward's threshold decisions
+    # exactly); the basis expansion (splat_power with basis) measured
+    # no faster on v5e, so both passes use the direct form.
+    power = splat_power(xy, conic, px, py)
+    if basis is None:
+        basis = moment_basis(px, py, origin)                      # [6, Q]
     g = jnp.exp(power)
     alpha = jnp.minimum(cfg.alpha_cap, opacity[:, None] * g)
     v = (valid if valid.ndim == 2 else valid[:, None]) \

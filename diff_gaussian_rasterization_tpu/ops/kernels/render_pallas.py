@@ -118,7 +118,7 @@ def _fwd_kernel(
     # scalar prefetch
     start_ref, stop_ref, tidx_ref,
     # inputs
-    packed_hbm, gt_ref,
+    packed_hbm, gt_ref, basis_ref,
     # outputs (tile-blocked)
     color_ref, depth_ref, weight_ref, median_ref, var_ref, tfinal_ref,
     ncon_ref, nval_ref, midx_ref, ucross_ref,
@@ -138,6 +138,7 @@ def _fwd_kernel(
         tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
     )
     gt = gt_ref[0, 0]
+    del basis_ref  # kept as an input for layout symmetry with the backward
 
     carry0 = blend.init_carry(q, 3, jnp.float32)
     n_blocks = pl.cdiv(stop - start, BLOCK)
@@ -229,12 +230,17 @@ def core_fwd(
 
     if tile_index is None:
         tile_index = jnp.arange(t, dtype=jnp.int32)
+    qx = jnp.tile(jnp.arange(cfg.tile_w, dtype=jnp.float32), cfg.tile_h)
+    qy = jnp.repeat(jnp.arange(cfg.tile_h, dtype=jnp.float32), cfg.tile_w)
+    basis = blend.moment_basis(qx, qy, origin=(0.0, 0.0))         # [6, q]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed instance blocks
             tile_spec,                              # gt tiles
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # basis (shared)
         ],
         out_specs=(tile3_spec,) + (tile_spec,) * 9,
         scratch_shapes=[
@@ -265,7 +271,7 @@ def core_fwd(
         ),
         interpret=interpret,
     )(tile_start, tile_stop, tile_index, packed,
-      gt_tiles.reshape(t, 1, q))
+      gt_tiles.reshape(t, 1, q), basis)
 
     (c, d, wgt, med, var, tf, ncon, nval, midx, ucross) = out
     flat = lambda x: x.reshape(x.shape[0], q) if x.ndim == 3 and \

