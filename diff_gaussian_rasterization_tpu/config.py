@@ -55,6 +55,12 @@ class RasterConfig:
     fov_clamp: float = 1.3
     w_eps: float = 1e-7
 
+    # Bin each splat with its exact alpha_min footprint radius
+    # sigma*sqrt(2 ln(opac/alpha_min)) instead of the reference's fixed
+    # 3-sigma rect (forward.cu:229-232): identical rendered output (culled
+    # pixels could never pass alpha >= alpha_min), ~30-40% fewer instances.
+    opacity_cull: bool = True
+
     # --- parity quirks (see reference SURVEY appendix A) ---
     # The reference uses quaternions unnormalized (forward.cu:127, the
     # normalization is commented out).  Set True for well-behaved optimization.

@@ -226,7 +226,24 @@ def preprocess(
 
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(cfg.eig_clamp, mid * mid - det))
-    radius = jnp.ceil(cfg.radius_sigma * jnp.sqrt(lam))
+    sigma = jnp.sqrt(lam)
+    radius = jnp.ceil(cfg.radius_sigma * sigma)
+
+    if cfg.opacity_cull:
+        # Exact-footprint binning radius: pixels beyond
+        # sigma*sqrt(2 ln(opac/alpha_min)) can never pass the alpha >= 15/255
+        # test (forward.cu:359-366), so binning them is pure waste — the
+        # reference's fixed 3-sigma rect (forward.cu:229-232) includes up to
+        # ~60% dead area (and entire Gaussians with opac < alpha_min).
+        # Rendered output is bit-identical; only instance-stream diagnostics
+        # (num_rendered, n_contrib indices) shrink.
+        op = jnp.reshape(jax.lax.stop_gradient(opacities), (-1,))
+        ratio = op / cfg.alpha_min
+        cut = jnp.sqrt(2.0 * jnp.log(jnp.maximum(ratio, 1.0)))
+        cut = jnp.minimum(cfg.radius_sigma, cut)
+        radius_bin = jnp.where(ratio > 1.0, jnp.ceil(sigma * cut), 0.0)
+    else:
+        radius_bin = radius
 
     ndc_xy = ndc[:, :2] if means2D is None else ndc[:, :2] + means2D
     xy = jnp.stack(
@@ -236,7 +253,7 @@ def preprocess(
 
     tiles_x = -(-camera.width // cfg.tile_w)
     tiles_y = -(-camera.height // cfg.tile_h)
-    rect_min, rect_max = tile_rect(xy, radius, tiles_x, tiles_y,
+    rect_min, rect_max = tile_rect(xy, radius_bin, tiles_x, tiles_y,
                                    cfg.tile_w, cfg.tile_h)
     ext = rect_max - rect_min
     tiles_touched = ext[:, 0] * ext[:, 1]
