@@ -119,9 +119,12 @@ def _fwd_kernel(
     start_ref, stop_ref, tidx_ref,
     # inputs
     packed_hbm, gt_ref, basis_ref,
-    # outputs (tile-blocked)
-    color_ref, depth_ref, weight_ref, median_ref, var_ref, tfinal_ref,
-    ncon_ref, nval_ref, midx_ref, ucross_ref,
+    # fused output block [1, 12, q]: rows 0-2 color, 3 depth, 4 weight,
+    # 5 median, 6 var, 7 t_final, 8 n_contrib(i32 bits), 9 n_valid(i32),
+    # 10 midx(i32), 11 ucross.  One output stream instead of ten: per-tile
+    # output-window DMA bookkeeping dominated the kernel (~10 ms at 836
+    # tiles) when each quantity had its own stream.
+    out_ref,
     # scratch
     data_scr, sems,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
@@ -189,16 +192,17 @@ def _fwd_kernel(
     def _():
         read_dma(kf).wait()
 
-    color_ref[0] = carry.color
-    depth_ref[0, 0] = carry.depth
-    weight_ref[0, 0] = carry.weight
-    median_ref[0, 0] = carry.median
-    var_ref[0, 0] = blend.finish_var(carry, gt)
-    tfinal_ref[0, 0] = carry.t_final
-    ncon_ref[0, 0] = carry.n_contrib
-    nval_ref[0, 0] = carry.n_valid
-    midx_ref[0, 0] = carry.midx
-    ucross_ref[0, 0] = blend.finish_ucross(carry, gt)
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    out_ref[0, 0:3] = carry.color
+    out_ref[0, 3] = carry.depth
+    out_ref[0, 4] = carry.weight
+    out_ref[0, 5] = carry.median
+    out_ref[0, 6] = blend.finish_var(carry, gt)
+    out_ref[0, 7] = carry.t_final
+    out_ref[0, 8] = bc(carry.n_contrib)
+    out_ref[0, 9] = bc(carry.n_valid)
+    out_ref[0, 10] = bc(carry.midx)
+    out_ref[0, 11] = blend.finish_ucross(carry, gt)
 
 
 def core_fwd(
@@ -206,7 +210,7 @@ def core_fwd(
     tile_start, tile_stop, gt_tiles,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 0, interpret=None,
-    tile_index=None,
+    tile_index=None, packed=None,
 ) -> CoreOutputs:
     del tile_batch  # XLA-backend knob; the kernel runs one tile per grid step
     if interpret is None:
@@ -218,15 +222,16 @@ def core_fwd(
     assert BLOCK % sub == 0
     i_total = xy.shape[0]
 
-    packed = pack_instances(xy, conic, opac, color, depth, depth_med)
+    if packed is None:
+        packed = pack_instances(xy, conic, opac, color, depth, depth_med)
 
     # tile tensors travel as [T, k, q] (block dims equal to array dims are
     # always legal; in-kernel no reshapes are needed); the (th, tw) spatial
     # view is reassembled outside the kernel
     tile_spec = pl.BlockSpec((1, 1, q), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    tile3_spec = pl.BlockSpec((1, 3, q), lambda i, *_: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 12, q), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     if tile_index is None:
         tile_index = jnp.arange(t, dtype=jnp.int32)
@@ -242,7 +247,7 @@ def core_fwd(
             tile_spec,                              # gt tiles
             pl.BlockSpec(memory_space=pltpu.VMEM),  # basis (shared)
         ],
-        out_specs=(tile3_spec,) + (tile_spec,) * 9,
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # double-buffered
             pltpu.SemaphoreType.DMA((2,)),
@@ -257,27 +262,18 @@ def core_fwd(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((t, 3, q), f32),        # color
-            jax.ShapeDtypeStruct((t, 1, q), f32),        # depth
-            jax.ShapeDtypeStruct((t, 1, q), f32),        # weight
-            jax.ShapeDtypeStruct((t, 1, q), f32),        # median
-            jax.ShapeDtypeStruct((t, 1, q), f32),        # var
-            jax.ShapeDtypeStruct((t, 1, q), f32),        # t_final
-            jax.ShapeDtypeStruct((t, 1, q), jnp.int32),  # n_contrib
-            jax.ShapeDtypeStruct((t, 1, q), jnp.int32),  # n_valid
-            jax.ShapeDtypeStruct((t, 1, q), jnp.int32),  # midx
-            jax.ShapeDtypeStruct((t, 1, q), f32),        # ucross
-        ),
+        out_shape=jax.ShapeDtypeStruct((t, 12, q), f32),
         interpret=interpret,
     )(tile_start, tile_stop, tile_index, packed,
       gt_tiles.reshape(t, 1, q), basis)
 
-    (c, d, wgt, med, var, tf, ncon, nval, midx, ucross) = out
-    flat = lambda x: x.reshape(x.shape[0], q) if x.ndim == 3 and \
-        x.shape[1] == 1 else x
-    midx = flat(midx)
-    ucross = flat(ucross)
+    ib = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    c = out[:, 0:3]
+    d, wgt, med, var, tf = (out[:, 3], out[:, 4], out[:, 5], out[:, 6],
+                            out[:, 7])
+    ncon, nval, midx = ib(out[:, 8]), ib(out[:, 9]), ib(out[:, 10])
+    ucross = out[:, 11]
+    flat = lambda x: x
 
     # Per-Gaussian uncertainty statistics (forward.cu:386-387) from the
     # per-pixel crossing index: a deterministic segment reduction.
@@ -422,7 +418,7 @@ def core_bwd(
     dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 0, interpret=None,
-    tile_index=None,
+    tile_index=None, packed=None,
 ):
     del tile_batch
     if interpret is None:
@@ -435,8 +431,9 @@ def core_bwd(
     i_total = xy.shape[0]
     n_rows = i_total // BLOCK
 
-    packed = pack_instances(xy, conic, opac, color, depth,
-                            jnp.zeros_like(depth))
+    if packed is None:
+        packed = pack_instances(xy, conic, opac, color, depth,
+                                jnp.zeros_like(depth))
 
     # per-tile pixel constants (fused cotangent stream inputs), computed once
     # here on the XLA side — in-kernel they would need vector concatenation,

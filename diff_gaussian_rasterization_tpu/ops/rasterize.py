@@ -74,27 +74,41 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
         fwd_call = lambda *a: fwd_impl(*a, **kw)
         bwd_call = lambda *a: bwd_impl(*a, **kw)
 
+    # the Pallas kernels consume the feature-planar packed layout; build it
+    # once in the primal and reuse it in the backward through the residuals
+    # (the dmed row differs between passes but the backward never reads it)
+    can_share_pack = backend == "pallas" and mesh is None
+
     def _primal(xy, conic, opac, color, depth, depth_med, depth_var):
         del depth_var  # same values as depth; exists for gradient routing
+        if can_share_pack:
+            from .kernels.render_pallas import pack_instances
+            packed = pack_instances(xy, conic, opac, color, depth, depth_med)
+            return fwd_impl(xy, conic, opac, color, depth, depth_med,
+                            tile_start, tile_stop, gt_tiles, packed=packed,
+                            **kw), packed
         return fwd_call(xy, conic, opac, color, depth, depth_med,
-                        tile_start, tile_stop, gt_tiles)
+                        tile_start, tile_stop, gt_tiles), None
 
     if not use_custom_vjp:
         # pure-JAX differentiation (supports jacfwd/jvp, e.g. for
         # Gauss-Newton pose tracking); XLA backend only
         assert backend != "pallas", "jvp mode requires the XLA backend"
-        return _primal
+        return lambda *a: _primal(*a)[0]
 
-    core = jax.custom_vjp(_primal)
+    @jax.custom_vjp
+    def core(*args):
+        return _primal(*args)[0]
 
     def core_fwd(xy, conic, opac, color, depth, depth_med, depth_var):
-        out = _primal(xy, conic, opac, color, depth, depth_med, depth_var)
-        res = (xy, conic, opac, color, depth,
+        out, packed = _primal(xy, conic, opac, color, depth, depth_med,
+                              depth_var)
+        res = (xy, conic, opac, color, depth, packed,
                out.color, out.depth, out.weight, out.var, out.t_final)
         return out, res
 
     def core_bwd(res, cot):
-        (xy, conic, opac, color, depth,
+        (xy, conic, opac, color, depth, packed,
          tot_c, tot_d, tot_w, tot_v, t_final) = res
         zero = jnp.zeros_like(t_final)
         zero_c = jnp.zeros_like(tot_c)
@@ -105,13 +119,19 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
                 return like
             return x
 
-        d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = bwd_call(
-            xy, conic, opac, color, depth,
-            tile_start, tile_stop, gt_tiles,
-            tot_c, tot_d, tot_w, tot_v, t_final,
-            f(cot.color, zero_c), f(cot.depth, zero), f(cot.weight, zero),
-            f(cot.var, zero), f(cot.median, zero), f(cot.t_final, zero),
-        )
+        cots = (f(cot.color, zero_c), f(cot.depth, zero),
+                f(cot.weight, zero), f(cot.var, zero),
+                f(cot.median, zero), f(cot.t_final, zero))
+        if can_share_pack:
+            rows = bwd_impl(xy, conic, opac, color, depth,
+                            tile_start, tile_stop, gt_tiles,
+                            tot_c, tot_d, tot_w, tot_v, t_final, *cots,
+                            packed=packed, **kw)
+        else:
+            rows = bwd_call(xy, conic, opac, color, depth,
+                            tile_start, tile_stop, gt_tiles,
+                            tot_c, tot_d, tot_w, tot_v, t_final, *cots)
+        d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = rows
         return d_xy, d_conic, d_opac, d_color, d_depth, d_dmed, d_dvar
 
     core.defvjp(core_fwd, core_bwd)

@@ -1,0 +1,50 @@
+"""IO: 3DGS PLY exchange format, dataset plumbing, trajectory metrics."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from diff_gaussian_rasterization_tpu.io.ply import load_ply, save_ply
+from diff_gaussian_rasterization_tpu.io.replica import ate_rmse
+from diff_gaussian_rasterization_tpu.models.gaussians import init_model
+from diff_gaussian_rasterization_tpu.models import lie
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    n, cap = 100, 128
+    m = init_model(cap, sh_degree=2)
+    m = m.replace(
+        means3D=m.means3D.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)),
+        scales_log=m.scales_log.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)),
+        rotations=m.rotations.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)),
+        opacities_logit=m.opacities_logit.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)),
+        sh=m.sh.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, 9, 3)), jnp.float32)),
+        active=jnp.arange(cap) < n,
+    )
+    p = str(tmp_path / "model.ply")
+    save_ply(p, m)
+    m2 = load_ply(p, capacity=cap)
+    for f in ("means3D", "scales_log", "rotations", "opacities_logit", "sh"):
+        np.testing.assert_allclose(np.asarray(getattr(m, f))[:n],
+                                   np.asarray(getattr(m2, f))[:n],
+                                   rtol=1e-6, err_msg=f)
+    assert int(m2.num_active) == n
+    # header is the 3DGS ecosystem layout
+    head = open(p, "rb").read(2000).decode("ascii", "ignore")
+    for field in ("f_dc_0", "f_rest_23", "opacity", "scale_2", "rot_3"):
+        assert f"property float {field}" in head
+
+
+def test_ate_rmse_zero_for_identical():
+    views = [jnp.asarray(lie.exp_se3(jnp.asarray(
+        [0.1 * i, 0, 0, 0, 0.05 * i, 0]))).T for i in range(5)]
+    assert ate_rmse(views, views) == 0.0
+    shifted = [v.at[3, 0].add(1.0) for v in views]
+    assert ate_rmse(shifted, views) > 0.5
