@@ -35,10 +35,14 @@ def make_mesh(shape=None, axis_names=("kf", "tile"), devices=None) -> Mesh:
     return Mesh(dev_array, axis_names)
 
 
-def shard_map_fn(fn, mesh, in_specs, out_specs):
+def shard_map_fn(fn, mesh, in_specs, out_specs, check_rep=True):
     """Version-portable shard_map."""
+    kw = {} if check_rep else {"check_vma": False}
     if hasattr(jax, "shard_map"):
         return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
+                             out_specs=out_specs, **kw)
     from jax.experimental.shard_map import shard_map
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    if not check_rep:
+        kw = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **kw)

@@ -14,6 +14,14 @@ All new TPU-native design — the reference has no distributed layer at all
 2. **Keyframe-sharded mapping** (``sharded_value_and_grad``): data-parallel
    mapping across keyframes; Gaussian-parameter gradients ``psum`` over ICI,
    exactly the north-star layout (keyframe partitioning + gradient psum).
+
+3. **Gaussian-sharded maps** (``gather_visible``): scale the map itself
+   beyond one device's memory — Gaussian parameter arrays are sharded over a
+   ``map`` axis; per frame each device frustum-tests its shard
+   (``markVisible`` semantics, rasterizer_impl.cu:54-66), compacts the
+   visible subset into a fixed per-shard budget, and ``all_gather``s the
+   survivors over ICI.  Gradients route back to the owning shard through the
+   all_gather transpose (a reduce_scatter) automatically under autodiff.
 """
 
 from __future__ import annotations
@@ -101,6 +109,52 @@ def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
         return f(xy, conic, opac, color, depth, *padded, tidx)
 
     return fwd, bwd
+
+
+def gather_visible(params: dict, viewmatrix, mesh: Mesh, axis: str = "map",
+                   *, budget_per_shard: int, near: float = 0.2):
+    """Frustum-cull a Gaussian-sharded map and all-gather the visible subset.
+
+    ``params`` is a dict of per-Gaussian arrays with leading dim P, sharded
+    over ``axis`` (P % mesh.shape[axis] == 0); ``params["means3D"]`` drives
+    the near-plane test.  Each shard compacts its visible Gaussians (stable
+    order) into ``budget_per_shard`` slots — static shapes, like the
+    rasterizer's instance budget — and the shards' survivors are gathered to
+    every device.
+
+    Returns ``(gathered, valid, overflow)``: gathered arrays with leading
+    dim ``n_shards * budget_per_shard``, a validity mask (feed
+    ``opacities * valid`` to the rasterizer so padded slots render as
+    nothing), and a per-shard overflow flag (never a silent cap).
+    """
+    n = mesh.shape[axis]
+
+    def local(prm, view):
+        means = prm["means3D"]
+        z = means @ view[:3, 2] + view[3, 2]
+        vis = z > near
+        count = jnp.sum(vis)
+        # stable compaction: visible-first order
+        order = jnp.argsort(~vis, stable=True)[:budget_per_shard]
+        valid = (jnp.arange(budget_per_shard)
+                 < jnp.minimum(count, budget_per_shard))
+        picked = {k: v[order] for k, v in prm.items()}
+        gathered = {k: jax.lax.all_gather(v, axis, tiled=True)
+                    for k, v in picked.items()}
+        valid_g = jax.lax.all_gather(valid, axis, tiled=True)
+        overflow = jax.lax.pmax(
+            (count > budget_per_shard).astype(jnp.int32), axis)
+        return gathered, valid_g, overflow
+
+    # check_rep off: the varying-axis checker does not infer that a tiled
+    # all_gather over `axis` makes its result replicated
+    f = shard_map_fn(
+        local, mesh,
+        in_specs=(P(axis), P()),         # broadcast over the params dict
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return f(params, viewmatrix)
 
 
 def sharded_value_and_grad(loss_one_frame: Callable, mesh: Mesh,

@@ -14,7 +14,7 @@ from diff_gaussian_rasterization_tpu.config import RasterConfig
 from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
 from diff_gaussian_rasterization_tpu.parallel.mesh import make_mesh
 from diff_gaussian_rasterization_tpu.parallel.sharded import (
-    sharded_value_and_grad,
+    gather_visible, sharded_value_and_grad,
 )
 
 from scenes import make_scene
@@ -68,6 +68,51 @@ def test_tile_sharded_gradients_match():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gaussian_sharded_gather_visible_matches_replicated():
+    # map sharded over devices; frustum all-gather of the visible subset
+    # must reproduce the replicated render and route gradients back to the
+    # owning shard (SURVEY.md §5 "Gaussian-count scaling" axis)
+    scene, cam = make_scene(p=128, h=24, w=32, seed=7)
+    n = len(jax.devices())
+    mesh = make_mesh(shape=(1, n), axis_names=("kf", "map"))
+    # push some Gaussians behind the near plane so culling is exercised
+    means = scene["means3D"].at[::5, 2].set(-1.0)
+    params = {"means3D": means, "colors": scene["colors_precomp"],
+              "opacities": scene["opacities"]}
+    kw = dict(scales=scene["scales"], rotations=scene["rotations"],
+              bg=scene["bg"])
+    # scales/rotations ride along in the gather too
+    params["scales"] = kw.pop("scales")
+    params["rotations"] = kw.pop("rotations")
+
+    def loss_gathered(prm):
+        g, valid, overflow = gather_visible(
+            prm, cam.viewmatrix, mesh, axis="map",
+            budget_per_shard=128 // n)
+        out = rasterize(
+            g["means3D"], cam, CFG, backend="xla", tile_batch=4,
+            opacities=g["opacities"] * valid[:, None],
+            scales=g["scales"], rotations=g["rotations"],
+            colors_precomp=g["colors"], **kw)
+        return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)), overflow
+
+    def loss_direct(prm):
+        out = rasterize(
+            prm["means3D"], cam, CFG, backend="xla", tile_batch=4,
+            opacities=prm["opacities"], scales=prm["scales"],
+            rotations=prm["rotations"], colors_precomp=prm["colors"], **kw)
+        return jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+
+    (l_g, overflow), g_g = jax.value_and_grad(loss_gathered, has_aux=True)(
+        params)
+    l_d, g_d = jax.value_and_grad(loss_direct)(params)
+    assert int(overflow) == 0
+    np.testing.assert_allclose(float(l_g), float(l_d), rtol=1e-5)
+    for kk in ("means3D", "colors", "opacities", "scales", "rotations"):
+        np.testing.assert_allclose(np.asarray(g_g[kk]), np.asarray(g_d[kk]),
+                                   rtol=1e-4, atol=1e-5, err_msg=kk)
 
 
 def test_keyframe_sharded_grads_match():
