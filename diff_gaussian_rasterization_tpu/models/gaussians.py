@@ -206,7 +206,7 @@ def densify_and_prune(
     )
     # the split source also shrinks in place
     shrink = jnp.where(
-        dst_ok & split_src,
+        (dst_ok & split_src)[:, None],
         model.scales_log[src] - jnp.log(split_scale_down),
         model.scales_log[src],
     )

@@ -96,6 +96,33 @@ def test_mapping_improves_model():
     assert float(dstate.denom.max()) > 0
 
 
+def test_densify_clone_and_split():
+    # regression: the split-source shrink used a (N,) mask against (N,3)
+    from diff_gaussian_rasterization_tpu.models.gaussians import (
+        densify_and_prune, init_model,
+    )
+    rng = np.random.RandomState(0)
+    n, cap = 32, 128
+    model = init_model(cap, sh_degree=0,
+                       means=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+                       colors=jnp.asarray(rng.uniform(0, 1, (n, 3)),
+                                          jnp.float32),
+                       scales=jnp.asarray(
+                           np.where(rng.uniform(size=(n, 3)) < 0.5,
+                                    0.002, 0.2), np.float32),
+                       opacity=0.8)
+    dstate = DensifyState(
+        grad_accum=jnp.full((cap,), 1.0),   # everyone above threshold
+        denom=jnp.ones((cap,)),
+    )
+    m2, dstate2, n_spawned = densify_and_prune(
+        model, dstate, grad_threshold=1e-3, rng=jax.random.PRNGKey(0))
+    assert int(n_spawned) > 0
+    assert int(m2.num_active) == n + int(n_spawned)
+    assert bool(jnp.all(jnp.isfinite(m2.means3D)))
+    assert float(dstate2.grad_accum.max()) == 0.0
+
+
 def test_track_frame_is_jit_stable():
     model, views, frames = make_world(n=128, capacity=128)
     tcfg = TrackingConfig(iters=3)
