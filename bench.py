@@ -52,7 +52,7 @@ def make_scene(seed=0):
 def main():
     platform = jax.devices()[0].platform
     backend = "pallas" if platform in ("tpu", "axon") else "xla"
-    cfg = RasterConfig(tile_h=32, tile_w=32, chunk=64)
+    cfg = RasterConfig(tile_h=32, tile_w=32)
     scene = make_scene()
     kw = {k: v for k, v in scene.items() if k != "means3D"}
     view = jnp.eye(4, dtype=jnp.float32)

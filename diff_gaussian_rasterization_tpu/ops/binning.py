@@ -49,6 +49,12 @@ class Binned(NamedTuple):
     tile_stop: jnp.ndarray   # (T,) int32
     num_rendered: jnp.ndarray  # scalar int32, true (uncapped) instance count
     overflow: jnp.ndarray    # scalar bool
+    # aligned-layout extras (None on the unaligned path); these power the
+    # deterministic MXU segment-sum backward (kernels/segment_sum.py)
+    orig: Optional[jnp.ndarray] = None         # (I,) slot -> pre-sort index;
+                                               # sentinel = cap for padding
+    gauss_start: Optional[jnp.ndarray] = None  # (P,) pre-sort instance range
+    gauss_stop: Optional[jnp.ndarray] = None   # (P,)
 
 
 INSTANCE_ALIGN = 128  # matches the Pallas kernels' DMA block (render_pallas.BLOCK)
@@ -112,9 +118,10 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
 
     # Stable two-key sort: (tile, depth); ties keep Gaussian-index order like
     # the reference's stable radix sort.  Validity is carried by the tile
-    # sentinel (num_tiles sorts last), not a fourth operand.
-    tile_s, _, g_s = jax.lax.sort((tile, depth, g), num_keys=2,
-                                  is_stable=True)
+    # sentinel (num_tiles sorts last), not a fourth operand.  The pre-sort
+    # index rides along so the backward can invert the whole permutation.
+    tile_s, _, g_s, orig_s = jax.lax.sort((tile, depth, g, i), num_keys=2,
+                                          is_stable=True)
 
     t = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_s, t, side="left").astype(jnp.int32)
@@ -124,21 +131,38 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
         # Re-lay the sorted stream so every tile's segment starts at a
         # multiple of `align` (TPU DMA blocks are (align, features) tiles;
         # HBM lane tiling forbids unaligned dynamic slices).  Gaps between a
-        # tile's stop and the next aligned start are never read.  The
-        # re-layout is a gather: aligned slot j belongs to the tile whose
-        # aligned segment covers j (same scatter-mark + cumsum inversion as
-        # the instance expansion), and maps back to sorted position
-        # tile_start[t] + (j - astart[t]).
+        # tile's stop and the next aligned start are never read.
+        #
+        # Aligned slot j maps back to sorted position src = j - shift[t]
+        # where shift[t] = astart[t] - tile_start[t] is the cumulative
+        # padding inserted before tile t, and is in-segment iff
+        # src < tile_stop[t].  Both quantities are constant within a tile's
+        # aligned segment, so instead of gathering them per slot from the
+        # [T]-sized tables (flat XLA gathers cost ~6 ns/element on TPU —
+        # 18 ms at ~1M slots), scatter each tile's boundary *delta* at its
+        # segment start and prefix-sum: one tiny scatter + one cumsum.
         counts = tile_stop - tile_start
         padded = -(-counts // align) * align
         astart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
         i_al = aligned_size(cap, num_tiles, align)
-        t_of_j = jnp.clip(_expand_ids(astart, i_al), 0, num_tiles - 1)
+        shift = astart - tile_start
+        bounds = jnp.stack([shift, tile_stop], axis=1)            # [T, 2]
+        deltas = bounds - jnp.concatenate(
+            [jnp.zeros((1, 2), jnp.int32), bounds[:-1]], axis=0)
+        seg = jnp.zeros((i_al, 2), jnp.int32).at[astart].add(
+            deltas, mode="drop")
+        seg = jnp.cumsum(seg, axis=0)
         j = jnp.arange(i_al, dtype=jnp.int32)
-        off = j - astart[t_of_j]
-        src = tile_start[t_of_j] + off
-        in_seg = off < counts[t_of_j]
-        g_al = jnp.where(in_seg, g_s[jnp.clip(src, 0, cap - 1)], 0)
+        src = j - seg[:, 0]
+        in_seg = src < seg[:, 1]
+        # One packed 2-column row gather (row gathers amortize ~5x better
+        # than flat gathers) fetches both the Gaussian id and the pre-sort
+        # instance index for every aligned slot.
+        pack = jnp.stack([bc(g_s), bc(orig_s)], axis=1)           # [cap, 2]
+        rows_al = pack[jnp.clip(src, 0, cap - 1)]
+        ib2 = lambda c: jax.lax.bitcast_convert_type(rows_al[:, c], jnp.int32)
+        g_al = jnp.where(in_seg, ib2(0), 0)
+        orig_al = jnp.where(in_seg, ib2(1), cap)
         return Binned(
             gauss_id=g_al,
             tile_id=None,
@@ -147,6 +171,9 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
             tile_stop=astart + counts,
             num_rendered=total,
             overflow=total > cap,
+            orig=orig_al,
+            gauss_start=jnp.minimum(starts, cap),
+            gauss_stop=jnp.minimum(ends, cap),
         )
 
     return Binned(

@@ -213,15 +213,31 @@ def rasterize(
     binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
                                  align=INSTANCE_ALIGN)
 
+    backend = backend or cfg.backend
+    if backend == "auto":
+        # Pallas tiles must flatten to whole 128-lane vregs
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        backend = "pallas" if on_tpu and cfg.tile_px % 128 == 0 else "xla"
+    if not use_custom_vjp:
+        backend = "xla"
+
     ids = binn.gauss_id
     # One fused row gather for all per-instance features (6 separate gathers
-    # measured ~16x slower on TPU); its autodiff is likewise a single
-    # row scatter-add — the deterministic replacement for the reference's
-    # per-field atomicAdd accumulation (backward.cu:593-680).
+    # measured ~16x slower on TPU).  On the Pallas path its VJP is the
+    # deterministic MXU segment reduction (kernels/segment_sum.py) instead
+    # of an XLA scatter-add (~14 ms at ~1M instances) — both replace the
+    # reference's per-field atomicAdd accumulation (backward.cu:593-680).
     feat = jnp.concatenate(
         [prep.xy, prep.conic, prep.opacity[:, None], prep.color,
          prep.depth[:, None], prep.depth_sgview[:, None]], axis=1)
-    inst = feat[ids]
+    if backend == "pallas" and binn.orig is not None and mesh is None:
+        from .kernels.segment_sum import make_segmented_gather
+        gather = make_segmented_gather(
+            ids, binn.orig, binn.gauss_start, binn.gauss_stop,
+            cap=max_instances)
+        inst = gather(feat)
+    else:
+        inst = feat[ids]
     inst_xy = inst[:, 0:2]
     inst_conic = inst[:, 2:5]
     inst_opac = inst[:, 5]
@@ -231,14 +247,6 @@ def rasterize(
 
     gt_tiles = img_to_tiles(gt_depth, cfg.tile_h, cfg.tile_w)
 
-    backend = backend or cfg.backend
-    if backend == "auto":
-        # Pallas tiles must flatten to whole 128-lane vregs
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = "pallas" if on_tpu and cfg.tile_px % 128 == 0 else "xla"
-
-    if not use_custom_vjp:
-        backend = "xla"
     core = _make_core(
         binn.tile_start, binn.tile_stop, gt_tiles,
         cfg=cfg, tiles_x=tiles_x, capacity=max_instances,

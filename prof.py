@@ -74,7 +74,7 @@ def chain(f, *args):
 
 def main():
     scene = make_scene()
-    cfg = RasterConfig(tile_h=32, tile_w=32, chunk=64)
+    cfg = RasterConfig(tile_h=32, tile_w=32)
     view = jnp.eye(4, dtype=jnp.float32)
     cam = Camera(viewmatrix=view, tanfovx=0.82, tanfovy=0.47, height=H,
                  width=W)

@@ -51,7 +51,7 @@ def main():
     means[:, 2] = rng.uniform(0.8, 6.0, P)
     quats = rng.normal(size=(P, 4))
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    cfg = RasterConfig(tile_h=32, tile_w=32, chunk=64)
+    cfg = RasterConfig(tile_h=32, tile_w=32)
     cam = Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32), tanfovx=0.82,
                  tanfovy=0.47, height=H, width=W)
     tiles_x, tiles_y = grid_dims(H, W, cfg.tile_h, cfg.tile_w)
