@@ -155,10 +155,12 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
         j = jnp.arange(i_al, dtype=jnp.int32)
         src = j - seg[:, 0]
         in_seg = src < seg[:, 1]
-        # One packed 2-column row gather (row gathers amortize ~5x better
-        # than flat gathers) fetches both the Gaussian id and the pre-sort
-        # instance index for every aligned slot.
-        pack = jnp.stack([bc(g_s), bc(orig_s)], axis=1)           # [cap, 2]
+        # One packed row gather (row gathers amortize ~5x better than flat
+        # gathers) fetches both the Gaussian id and the pre-sort instance
+        # index for every aligned slot.  Padded to 8 columns: narrower rows
+        # get a strided (2,128)-tiled layout that gathers ~4x slower.
+        pack = jnp.stack(
+            [bc(g_s), bc(orig_s)] + [jnp.zeros_like(depth)] * 6, axis=1)
         rows_al = pack[jnp.clip(src, 0, cap - 1)]
         ib2 = lambda c: jax.lax.bitcast_convert_type(rows_al[:, c], jnp.int32)
         g_al = jnp.where(in_seg, ib2(0), 0)

@@ -82,10 +82,11 @@ def _kernel(blo_ref, nblk_ref, rows_hbm, start_ref, stop_ref, out_ref,
 
 def segment_sum_rows(rows, gauss_start, gauss_stop, *, pcap: int = 1024,
                      interpret=None):
-    """Sum [nb*BLOCK, F] planar row blocks into per-Gaussian [P, F] totals.
+    """Sum [nb*BLOCK, F] row blocks into per-Gaussian [P, F] totals.
 
     rows: [nb, FEAT, BLOCK] feature-planar gradient rows in pre-sort
-      (Gaussian-major) instance order.
+      (Gaussian-major) instance order (HBM lane tiling requires the trailing
+      DMA dimension be 128-aligned).
     gauss_start/gauss_stop: [P] int32 contiguous run per Gaussian.
     """
     if interpret is None:
@@ -152,14 +153,22 @@ def make_segmented_gather(ids, orig, gauss_start, gauss_stop, *, cap: int,
 
     def bwd(feat_shape, cot):                                     # [i_al, F]
         p, f = feat_shape
-        # invert the slot permutation: pre-sort instance -> aligned slot
-        inv = jnp.full((cap + 1,), i_al, jnp.int32).at[orig].set(
-            jnp.arange(i_al, dtype=jnp.int32), mode="drop")[:cap]
+        # Invert the slot permutation by sorting slots on their pre-sort
+        # index: every valid pre-sort instance i < total occupies exactly one
+        # slot, and padding slots carry the sentinel ``cap``, so after the
+        # sort position i holds i's slot for i < total and some padding slot
+        # (whose gradient row is all-zero) beyond — a sort is ~3x cheaper
+        # than the equivalent s32 scatter on TPU.
+        _, inv = jax.lax.sort(
+            (orig, jnp.arange(i_al, dtype=jnp.int32)), num_keys=1)
+        inv = inv[:cap]
         cotp = jnp.concatenate(
             [cot, jnp.zeros((i_al, FEAT - f), cot.dtype)], axis=1)
-        cotp = jnp.concatenate(
-            [cotp, jnp.zeros((1, FEAT), cot.dtype)], axis=0)
         rows_u = cotp[inv]                                        # [cap, FEAT]
+        # barrier: keeps the gather row-major (fast) instead of letting XLA
+        # fuse the planarizing transpose into it as a strided column-major
+        # gather (~3x slower than gather + explicit copy)
+        rows_u = jax.lax.optimization_barrier(rows_u)
         blocks = jnp.transpose(
             rows_u.reshape(cap // BLOCK, BLOCK, FEAT), (0, 2, 1))
         grad = segment_sum_rows(blocks, gauss_start, gauss_stop,

@@ -151,12 +151,21 @@ def ndc2pix(v, size):
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
-def tile_rect(xy, radius, tiles_x, tiles_y, tile_w, tile_h):
-    """Tile-aligned bounding rectangle of a splat (auxiliary.h:46-56)."""
-    rmin_x = jnp.clip(jnp.floor((xy[:, 0] - radius) / tile_w), 0, tiles_x).astype(jnp.int32)
-    rmin_y = jnp.clip(jnp.floor((xy[:, 1] - radius) / tile_h), 0, tiles_y).astype(jnp.int32)
-    rmax_x = jnp.clip(jnp.floor((xy[:, 0] + radius + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((xy[:, 1] + radius + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
+def tile_rect(xy, radius_x, tiles_x, tiles_y, tile_w, tile_h,
+              radius_y=None):
+    """Tile-aligned bounding rectangle of a splat (auxiliary.h:46-56).
+
+    ``radius_x``/``radius_y`` may differ: the binning footprint uses the
+    alpha-level ellipse's axis-aligned extents rather than the reference's
+    bounding circle (see ``preprocess``), which is strictly tighter for
+    anisotropic splats.
+    """
+    if radius_y is None:
+        radius_y = radius_x
+    rmin_x = jnp.clip(jnp.floor((xy[:, 0] - radius_x) / tile_w), 0, tiles_x).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((xy[:, 1] - radius_y) / tile_h), 0, tiles_y).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((xy[:, 0] + radius_x + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((xy[:, 1] + radius_y + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
     return jnp.stack([rmin_x, rmin_y], -1), jnp.stack([rmax_x, rmax_y], -1)
 
 
@@ -230,20 +239,27 @@ def preprocess(
     radius = jnp.ceil(cfg.radius_sigma * sigma)
 
     if cfg.opacity_cull:
-        # Exact-footprint binning radius: pixels beyond
-        # sigma*sqrt(2 ln(opac/alpha_min)) can never pass the alpha >= 15/255
-        # test (forward.cu:359-366), so binning them is pure waste — the
-        # reference's fixed 3-sigma rect (forward.cu:229-232) includes up to
-        # ~60% dead area (and entire Gaussians with opac < alpha_min).
-        # Rendered output is bit-identical; only instance-stream diagnostics
+        # Exact-footprint binning extents: pixels where
+        # alpha = opac*exp(power) < alpha_min can never pass the reference's
+        # alpha >= 15/255 test (forward.cu:359-366), so binning them is pure
+        # waste — the reference's fixed 3-sigma bounding-circle rect
+        # (forward.cu:229-232) includes up to ~60% dead area (and entire
+        # Gaussians with opac < alpha_min).  The alpha_min level set is the
+        # ellipse {power = ln(alpha_min/opac)} whose axis-aligned extents
+        # are cut*sqrt(cov_xx) / cut*sqrt(cov_yy) with
+        # cut = sqrt(2 ln(opac/alpha_min)) — per-axis, strictly inside the
+        # bounding circle cut*sigma_max for anisotropic splats.  Rendered
+        # output is bit-identical; only instance-stream diagnostics
         # (num_rendered, n_contrib indices) shrink.
         op = jnp.reshape(jax.lax.stop_gradient(opacities), (-1,))
         ratio = op / cfg.alpha_min
         cut = jnp.sqrt(2.0 * jnp.log(jnp.maximum(ratio, 1.0)))
         cut = jnp.minimum(cfg.radius_sigma, cut)
-        radius_bin = jnp.where(ratio > 1.0, jnp.ceil(sigma * cut), 0.0)
+        live = ratio > 1.0
+        rx_bin = jnp.where(live, jnp.ceil(cut * jnp.sqrt(jnp.maximum(a, 0.0))), 0.0)
+        ry_bin = jnp.where(live, jnp.ceil(cut * jnp.sqrt(jnp.maximum(c, 0.0))), 0.0)
     else:
-        radius_bin = radius
+        rx_bin = ry_bin = radius
 
     ndc_xy = ndc[:, :2] if means2D is None else ndc[:, :2] + means2D
     xy = jnp.stack(
@@ -253,8 +269,8 @@ def preprocess(
 
     tiles_x = -(-camera.width // cfg.tile_w)
     tiles_y = -(-camera.height // cfg.tile_h)
-    rect_min, rect_max = tile_rect(xy, radius_bin, tiles_x, tiles_y,
-                                   cfg.tile_w, cfg.tile_h)
+    rect_min, rect_max = tile_rect(xy, rx_bin, tiles_x, tiles_y,
+                                   cfg.tile_w, cfg.tile_h, radius_y=ry_bin)
     ext = rect_max - rect_min
     tiles_touched = ext[:, 0] * ext[:, 1]
 
