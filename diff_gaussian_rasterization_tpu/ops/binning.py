@@ -50,11 +50,18 @@ class Binned(NamedTuple):
     num_rendered: jnp.ndarray  # scalar int32, true (uncapped) instance count
     overflow: jnp.ndarray    # scalar bool
     # aligned-layout extras (None on the unaligned path); these power the
-    # deterministic MXU segment-sum backward (kernels/segment_sum.py)
+    # deterministic MXU segment-sum backward (kernels/segment_sum.py) and
+    # the two-stage feature gather (feat[gauss_sorted][src]), which keeps
+    # the per-slot Gaussian-id materialization off the hot path
     orig: Optional[jnp.ndarray] = None         # (I,) slot -> pre-sort index;
                                                # sentinel = cap for padding
     gauss_start: Optional[jnp.ndarray] = None  # (P,) pre-sort instance range
     gauss_stop: Optional[jnp.ndarray] = None   # (P,)
+    src: Optional[jnp.ndarray] = None          # (I,) slot -> sorted position
+                                               # (clipped; padding slots
+                                               # repeat a valid position)
+    inv: Optional[jnp.ndarray] = None          # (cap,) pre-sort -> slot
+    gauss_sorted: Optional[jnp.ndarray] = None  # (cap,) sorted Gaussian ids
 
 
 INSTANCE_ALIGN = 128  # matches the Pallas kernels' DMA block (render_pallas.BLOCK)
@@ -90,31 +97,41 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
     total = ends[-1]
 
     i = jnp.arange(cap, dtype=jnp.int32)
-    # Instance i belongs to the Gaussian whose [start, end) covers i
-    # (the reference writes at off = point_offsets[idx-1] + k,
-    # rasterizer_impl.cu:89-105; this is its inverse map).
-    g = jnp.clip(_expand_ids(starts, cap), 0, p - 1)
     valid = i < jnp.minimum(total, cap)
 
-    # Single packed-row gather for every per-Gaussian quantity the expansion
-    # needs (start offset, tile rect, sort depth): int32 columns are bitcast
-    # through float32 so one gather serves all.
+    # Instance i belongs to the Gaussian whose [start, end) covers i
+    # (the reference writes at off = point_offsets[idx-1] + k,
+    # rasterizer_impl.cu:89-105; this is its inverse map).  Every
+    # per-Gaussian quantity the expansion needs (id, start offset, tile
+    # rect, sort-depth bits) is constant within the Gaussian's instance run,
+    # so instead of gathering it per instance from a [P]-sized table (XLA
+    # row gathers cost ~1.5 ns/row; the bitcast column extraction another
+    # ~2 ms), scatter each run's boundary *delta* at its start offset and
+    # prefix-sum.  Depth rides as raw float bits: int32 addition wraps mod
+    # 2^32, so the telescoped deltas reproduce the bits exactly (the same
+    # observation behind the reference's float-bits sort key,
+    # rasterizer_impl.cu:102-105).
+    bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     bc = lambda x: jax.lax.bitcast_convert_type(x.astype(jnp.int32),
                                                 jnp.float32)
     rect_w = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
-    tab = jnp.stack(
-        [bc(starts), bc(prep.rect_min[:, 0]), bc(prep.rect_min[:, 1]),
-         bc(rect_w), jax.lax.stop_gradient(prep.depth)], axis=1)  # [P, 5]
-    rows = tab[g]
-    ib = lambda c: jax.lax.bitcast_convert_type(rows[:, c], jnp.int32)
-    local = i - ib(0)
-    rw = ib(3)
+    cols = jnp.stack(
+        [jnp.arange(p, dtype=jnp.int32), starts, prep.rect_min[:, 0],
+         prep.rect_min[:, 1], rect_w,
+         bi(jax.lax.stop_gradient(prep.depth))], axis=1)          # [P, 6]
+    deltas = cols - jnp.concatenate(
+        [jnp.zeros((1, 6), jnp.int32), cols[:-1]], axis=0)
+    acc = jnp.zeros((cap, 6), jnp.int32).at[starts].add(deltas, mode="drop")
+    acc = jnp.cumsum(acc, axis=0)
+    g = jnp.clip(acc[:, 0], 0, p - 1)
+    local = i - acc[:, 1]
+    rw = acc[:, 4]
     dy = local // rw
     dx = local - dy * rw
-    tx = ib(1) + dx
-    ty = ib(2) + dy
+    tx = acc[:, 2] + dx
+    ty = acc[:, 3] + dy
     tile = jnp.where(valid, ty * tiles_x + tx, num_tiles)
-    depth = rows[:, 4]
+    depth = jax.lax.bitcast_convert_type(acc[:, 5], jnp.float32)
 
     # Stable two-key sort: (tile, depth); ties keep Gaussian-index order like
     # the reference's stable radix sort.  Validity is carried by the tile
@@ -155,16 +172,34 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
         j = jnp.arange(i_al, dtype=jnp.int32)
         src = j - seg[:, 0]
         in_seg = src < seg[:, 1]
-        # One packed row gather (row gathers amortize ~5x better than flat
-        # gathers) fetches both the Gaussian id and the pre-sort instance
-        # index for every aligned slot.  Padded to 8 columns: narrower rows
-        # get a strided (2,128)-tiled layout that gathers ~4x slower.
+        # Per-slot Gaussian ids (used only by the uncertainty-stat scatters;
+        # the hot-path feature gather goes through feat[g_s][src] instead,
+        # so XLA dead-code-eliminates this gather when stats are unused).
+        # Padded to 8 columns: narrower rows get a strided (2,128)-tiled
+        # layout that gathers ~4x slower.
         pack = jnp.stack(
             [bc(g_s), bc(orig_s)] + [jnp.zeros_like(depth)] * 6, axis=1)
-        rows_al = pack[jnp.clip(src, 0, cap - 1)]
+        src_c = jnp.clip(src, 0, cap - 1)
+        rows_al = pack[src_c]
         ib2 = lambda c: jax.lax.bitcast_convert_type(rows_al[:, c], jnp.int32)
         g_al = jnp.where(in_seg, ib2(0), 0)
-        orig_al = jnp.where(in_seg, ib2(1), cap)
+
+        # pre-sort -> slot map for the backward segment reduction, without
+        # any per-slot gather: slot of sorted position s is
+        # dst[s] = s + shift[t(s)], with shift constant per tile segment
+        # (delta-scatter + prefix sum over sorted positions), and the
+        # pre-sort ordering is recovered by sorting on the pre-sort index
+        # carried through the main sort.  Beyond-total tail entries land on
+        # arbitrary valid slots but belong to no Gaussian run, so the
+        # segment reduction never reads them.
+        dsh = shift - jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                       shift[:-1]])
+        shift_s = jnp.cumsum(
+            jnp.zeros((cap,), jnp.int32).at[tile_start].add(dsh, mode="drop"))
+        dst = jnp.clip(jnp.arange(cap, dtype=jnp.int32) + shift_s,
+                       0, i_al - 1)
+        _, inv = jax.lax.sort((orig_s, dst), num_keys=1)
+
         return Binned(
             gauss_id=g_al,
             tile_id=None,
@@ -173,9 +208,11 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
             tile_stop=astart + counts,
             num_rendered=total,
             overflow=total > cap,
-            orig=orig_al,
             gauss_start=jnp.minimum(starts, cap),
             gauss_stop=jnp.minimum(ends, cap),
+            src=src_c,
+            inv=inv,
+            gauss_sorted=g_s,
         )
 
     return Binned(

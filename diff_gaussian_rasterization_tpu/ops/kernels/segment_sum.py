@@ -133,42 +133,33 @@ def segment_sum_rows(rows, gauss_start, gauss_stop, *, pcap: int = 1024,
     return out.reshape(p_pad, FEAT)[:p]
 
 
-def make_segmented_gather(ids, orig, gauss_start, gauss_stop, *, cap: int,
-                          interpret=None):
-    """A ``feat[ids]`` whose VJP is the deterministic MXU segment reduction.
+def make_segmented_gather(src, inv, gauss_sorted, gauss_start, gauss_stop,
+                          *, cap: int, interpret=None):
+    """A two-stage ``feat[gauss_sorted][src]`` instance-feature gather whose
+    VJP is the deterministic MXU segment reduction.
 
-    ids/orig: aligned-slot Gaussian ids and slot -> pre-sort index map
-    (sentinel ``cap`` marks padding slots) from ``bin_gaussians``;
-    gauss_start/gauss_stop: [P] pre-sort runs.  All are constants w.r.t.
-    differentiation (like the reference's saved binning buffers).
+    Staging through the sorted order keeps every index operand a plain
+    payload of the binning sort — no per-slot Gaussian-id gather on the hot
+    path.  ``src`` maps aligned slots to sorted positions (padding slots
+    repeat a valid position; downstream kernels mask them), ``inv`` maps
+    pre-sort instances to aligned slots, ``gauss_start``/``gauss_stop`` are
+    the [P] pre-sort runs.  All are constants w.r.t. differentiation (like
+    the reference's saved binning buffers).
     """
-    i_al = ids.shape[0]
+    i_al = src.shape[0]
 
     @jax.custom_vjp
     def gather(feat):
-        return feat[ids]
+        return feat[gauss_sorted][src]
 
     def fwd(feat):
-        return feat[ids], feat.shape
+        return feat[gauss_sorted][src], feat.shape
 
     def bwd(feat_shape, cot):                                     # [i_al, F]
         p, f = feat_shape
-        # Invert the slot permutation by sorting slots on their pre-sort
-        # index: every valid pre-sort instance i < total occupies exactly one
-        # slot, and padding slots carry the sentinel ``cap``, so after the
-        # sort position i holds i's slot for i < total and some padding slot
-        # (whose gradient row is all-zero) beyond — a sort is ~3x cheaper
-        # than the equivalent s32 scatter on TPU.
-        _, inv = jax.lax.sort(
-            (orig, jnp.arange(i_al, dtype=jnp.int32)), num_keys=1)
-        inv = inv[:cap]
         cotp = jnp.concatenate(
             [cot, jnp.zeros((i_al, FEAT - f), cot.dtype)], axis=1)
         rows_u = cotp[inv]                                        # [cap, FEAT]
-        # barrier: keeps the gather row-major (fast) instead of letting XLA
-        # fuse the planarizing transpose into it as a strided column-major
-        # gather (~3x slower than gather + explicit copy)
-        rows_u = jax.lax.optimization_barrier(rows_u)
         blocks = jnp.transpose(
             rows_u.reshape(cap // BLOCK, BLOCK, FEAT), (0, 2, 1))
         grad = segment_sum_rows(blocks, gauss_start, gauss_stop,

@@ -162,10 +162,15 @@ def tile_rect(xy, radius_x, tiles_x, tiles_y, tile_w, tile_h,
     """
     if radius_y is None:
         radius_y = radius_x
+    # Exclusive max = floor(v/t) + 1 (tile of the last covered pixel).  The
+    # reference's ``(v + BLOCK - 1) / BLOCK`` ceil idiom (auxiliary.h:46-56)
+    # is an *integer* trick that silently undercovers for fractional v
+    # (e.g. v = 8.96, t = 8 gives 1, dropping live pixels in tile row 1) —
+    # a reference artifact its 3-sigma slack usually hides; not reproduced.
     rmin_x = jnp.clip(jnp.floor((xy[:, 0] - radius_x) / tile_w), 0, tiles_x).astype(jnp.int32)
     rmin_y = jnp.clip(jnp.floor((xy[:, 1] - radius_y) / tile_h), 0, tiles_y).astype(jnp.int32)
-    rmax_x = jnp.clip(jnp.floor((xy[:, 0] + radius_x + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((xy[:, 1] + radius_y + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((xy[:, 0] + radius_x) / tile_w) + 1, 0, tiles_x).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((xy[:, 1] + radius_y) / tile_h) + 1, 0, tiles_y).astype(jnp.int32)
     return jnp.stack([rmin_x, rmin_y], -1), jnp.stack([rmax_x, rmax_y], -1)
 
 
@@ -256,8 +261,12 @@ def preprocess(
         cut = jnp.sqrt(2.0 * jnp.log(jnp.maximum(ratio, 1.0)))
         cut = jnp.minimum(cfg.radius_sigma, cut)
         live = ratio > 1.0
-        rx_bin = jnp.where(live, jnp.ceil(cut * jnp.sqrt(jnp.maximum(a, 0.0))), 0.0)
-        ry_bin = jnp.where(live, jnp.ceil(cut * jnp.sqrt(jnp.maximum(c, 0.0))), 0.0)
+        # +1e-3 px guards the f32 extent rounding against the (exact) f32
+        # alpha >= alpha_min test at pixels sitting on the level set
+        rx_bin = jnp.where(live, jnp.ceil(
+            cut * jnp.sqrt(jnp.maximum(a, 0.0)) + 1e-3), 0.0)
+        ry_bin = jnp.where(live, jnp.ceil(
+            cut * jnp.sqrt(jnp.maximum(c, 0.0)) + 1e-3), 0.0)
     else:
         rx_bin = ry_bin = radius
 

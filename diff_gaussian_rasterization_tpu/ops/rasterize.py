@@ -230,11 +230,11 @@ def rasterize(
     feat = jnp.concatenate(
         [prep.xy, prep.conic, prep.opacity[:, None], prep.color,
          prep.depth[:, None], prep.depth_sgview[:, None]], axis=1)
-    if backend == "pallas" and binn.orig is not None and mesh is None:
+    if backend == "pallas" and binn.src is not None and mesh is None:
         from .kernels.segment_sum import make_segmented_gather
         gather = make_segmented_gather(
-            ids, binn.orig, binn.gauss_start, binn.gauss_stop,
-            cap=max_instances)
+            binn.src, binn.inv, binn.gauss_sorted,
+            binn.gauss_start, binn.gauss_stop, cap=max_instances)
         inst = gather(feat)
     else:
         inst = feat[ids]

@@ -30,6 +30,14 @@ def main():
                    colors_precomp=scene["colors_precomp"],
                    bg=scene["bg"], gt_depth=scene["gt_depth"],
                    backend="pallas")
+    probe = rasterize(scene["means3D"],
+                      Camera(viewmatrix=view, tanfovx=0.82, tanfovy=0.47,
+                             height=H, width=W),
+                      cfg, backend="xla", max_instances=1024, **{
+                          k: v for k, v in kw_full.items()
+                          if k != "backend"})
+    kw_full["max_instances"] = int(
+        -(-int(probe.num_rendered) * 1.1 // 1024) * 1024)
 
     def loss(means, v):
         out = rasterize(means, Camera(viewmatrix=v, tanfovx=0.82,
