@@ -88,6 +88,13 @@ class RasterConfig:
     max_instances: Optional[int] = None
     instance_multiplier: int = 8  # used when max_instances is None
 
+    # Evaluate the per-(instance, pixel) Gaussian exponent as an MXU
+    # contraction of per-instance quadratic coefficients against the shared
+    # tile-pixel moment basis instead of ~10 VPU ops (blend.splat_power).
+    # Changes output by ~1e-4 relative in alpha (f32 cancellation of the
+    # expansion), so it is off by default for exact reference parity.
+    splat_basis_power: bool = False
+
     # --- backend selection ---
     backend: str = "auto"  # "pallas" | "xla" | "auto"
     # gaussians processed per compute sub-chunk inside the tile kernels;

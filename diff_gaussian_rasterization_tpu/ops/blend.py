@@ -343,9 +343,11 @@ def bwd_pixel_inputs(gt, tot_c, tot_d, tot_w, tot_v, t_final,
                      dL_dc, dL_dd, dL_dw, dL_dvar, dL_dtf, *, with_med_row):
     """Per-pixel constants of the backward, precomputable once per tile.
 
-    Returns (pixcot [C+3(+1), Q], pixmat [C+3, Q], tot_all [Q], tfin [Q]).
-    ``with_med_row`` inserts a zero row after the depth row so pixcot lines
-    up with the kernels' packed feature rows [c.., depth, dmed, d^2, 1].
+    Returns (pixcot [C+3(+1), Q], pixmat [C+3, Q], tot_all [Q]) — tot_all
+    folds the t_final cotangent term (t_final * dL_dtf) so the instance loop
+    needs one constant row, not two.  ``with_med_row`` inserts a zero row
+    after the depth row so pixcot lines up with the kernels' packed feature
+    rows [c.., depth, dmed, d^2, 1].
     """
     rows = [dL_dc, (dL_dd - 2.0 * gt * dL_dvar)[None, :]]
     if with_med_row:
@@ -356,8 +358,8 @@ def bwd_pixel_inputs(gt, tot_c, tot_d, tot_w, tot_v, t_final,
         [dL_dc, dL_dd[None, :], dL_dvar[None, :],
          (gt * dL_dvar)[None, :]], axis=0)
     tot_all = (jnp.sum(dL_dc * tot_c, axis=0) + dL_dd * tot_d
-               + dL_dvar * tot_v + dL_dw * tot_w)
-    return pixcot, pixmat, tot_all, t_final * dL_dtf
+               + dL_dvar * tot_v + dL_dw * tot_w + t_final * dL_dtf)
+    return pixcot, pixmat, tot_all
 
 
 def moment_basis(px, py, origin=None):
@@ -397,10 +399,13 @@ def blend_chunk_bwd(
     d_depth_med [G] (median crossing, backward.cu:654-664).
     """
     G = xy.shape[0]
-    # Direct power form (must match the forward's threshold decisions
-    # exactly); the basis expansion (splat_power with basis) measured
-    # no faster on v5e, so both passes use the direct form.
-    power = splat_power(xy, conic, px, py)
+    # The power form must match the forward's threshold decisions exactly,
+    # so the basis/MXU expansion is used in both passes or neither
+    # (cfg.splat_basis_power).
+    if cfg.splat_basis_power and basis is not None:
+        power = splat_power(xy, conic, px, py, basis, origin)
+    else:
+        power = splat_power(xy, conic, px, py)
     if basis is None:
         basis = moment_basis(px, py, origin)                      # [6, Q]
     g = jnp.exp(power)
@@ -427,7 +432,7 @@ def blend_chunk_bwd(
             gt, tot_c, tot_d, tot_w, tot_v, t_final,
             dL_dc, dL_dd, dL_dw, dL_dvar, dL_dtf,
             with_med_row=packed_rows is not None)
-    pixcot, pixmat, tot_all, tfin = pix
+    pixcot, pixmat, tot_all = pix
     if packed_rows is not None:
         # rows [c.., depth, dmed, d^2, 1] straight from the DMA'd block;
         # pixcot carries a zero row for dmed
@@ -441,17 +446,18 @@ def blend_chunk_bwd(
         s = _dot(feats, pixcot)                                   # [G, Q]
 
     pre_all = carry.pre_all[None, :] + cumsum_incl(w * s)
-    one_m_a = 1.0 - alpha
-    inv_oma = 1.0 / jnp.where(v, one_m_a, 1.0)
+    # alpha <= alpha_cap = 0.99 everywhere (including masked lanes), so
+    # 1 - alpha >= 0.01 and the reciprocal needs no guard; contribf zeroes
+    # masked lanes afterwards.
+    inv_oma = 1.0 / (1.0 - alpha)
 
     # dL/dalpha_i (x T_i), with strict-suffix sums S = tot - prefix, plus the
     # t_final cotangent: d t_final / d alpha_i = -t_final/(1-alpha_i) for
     # contributing i.  With dL_dtf = bg . dL_dcolor this is exactly the
-    # reference's background term (backward.cu:620-623).
+    # reference's background term (backward.cu:620-623); tot_all carries it
+    # (bwd_pixel_inputs) so per-pixel constants fold outside the loop.
     d_alpha = contribf * (
-        t_excl * s
-        - (tot_all[None, :] - pre_all) * inv_oma
-        - tfin[None, :] * inv_oma
+        t_excl * s - (tot_all[None, :] - pre_all) * inv_oma
     )
 
     # --- per-instance reductions as moment matmuls ------------------------

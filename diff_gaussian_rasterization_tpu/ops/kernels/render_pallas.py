@@ -128,6 +128,7 @@ def _fwd_kernel(
     # scratch
     data_scr, sems,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
+    n_tiles: int,
 ):
     t = pl.program_id(0)
     start = start_ref[t]
@@ -141,7 +142,14 @@ def _fwd_kernel(
         tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
     )
     gt = gt_ref[0, 0]
-    del basis_ref  # kept as an input for layout symmetry with the backward
+    if cfg.splat_basis_power:
+        basis = basis_ref[:]
+        tx = tidx_ref[t] % tiles_x
+        ty = tidx_ref[t] // tiles_x
+        origin = ((tx * cfg.tile_w).astype(jnp.float32),
+                  (ty * cfg.tile_h).astype(jnp.float32))
+    else:
+        basis = origin = None
 
     carry0 = blend.init_carry(q, 3, jnp.float32)
     n_blocks = pl.cdiv(stop - start, BLOCK)
@@ -153,7 +161,9 @@ def _fwd_kernel(
             sems.at[jax.lax.rem(k, 2)],
         )
 
-    @pl.when(n_blocks > 0)
+    # block 0 of tile t > 0 was prefetched by the previous grid step (the
+    # cross-tile pipeline below); only the first tile fetches its own
+    @pl.when((t == 0) & (n_blocks > 0))
     def _():
         read_dma(0).start()
 
@@ -181,6 +191,7 @@ def _fwd_kernel(
                 carry, xy, conic, opac, color, depth, dmed, valid,
                 px, py, gt, off, cfg, global_base=start + off,
                 packed_rows=packed, want_instance_stats=False,
+                basis=basis, origin=origin,
             )
         return k + 1, carry
 
@@ -191,6 +202,23 @@ def _fwd_kernel(
     @pl.when(kf < n_blocks)
     def _():
         read_dma(kf).wait()
+
+    # cross-tile pipeline: at ~2 instance blocks per tile (post-culling) the
+    # in-tile double buffer cannot hide the first DMA's latency, so issue the
+    # next tile's block 0 now — it overlaps this tile's output copy and the
+    # next step's prologue.  Slot 0 is free: every in-tile DMA was waited
+    # above, and block 0 always gets consumed (the while condition is true
+    # at k=0), keeping the semaphore balanced.
+    nt = jnp.minimum(t + 1, n_tiles - 1)
+    n_start = start_ref[nt]
+
+    @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
+    def _():
+        pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
+            data_scr.at[pl.ds(0, 1)],
+            sems.at[0],
+        ).start()
 
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     out_ref[0, 0:3] = carry.color
@@ -256,7 +284,7 @@ def core_fwd(
 
     kernel = functools.partial(
         _fwd_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
-        sub=sub,
+        sub=sub, n_tiles=t,
     )
     f32 = jnp.float32
     out = pl.pallas_call(
@@ -298,12 +326,13 @@ def core_fwd(
 
 def _bwd_kernel(
     start_ref, stop_ref, tidx_ref,
-    packed_hbm, pixcot_ref, pixmat_ref, totall_ref, tfin_ref, dm_ref,
+    packed_hbm, pixcot_ref, pixmat_ref, totall_ref, dm_ref,
     basis_ref,
     rows_init,
     rows_out,
     data_scr, rows_scr, sems,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
+    n_tiles: int,
 ):
     del rows_init
     t = pl.program_id(0)
@@ -321,7 +350,7 @@ def _bwd_kernel(
     origin = ((tx * cfg.tile_w).astype(jnp.float32),
               (ty * cfg.tile_h).astype(jnp.float32))
     # per-tile pixel constants, precomputed on the XLA side
-    pix = (pixcot_ref[0], pixmat_ref[0], totall_ref[0, 0], tfin_ref[0, 0])
+    pix = (pixcot_ref[0], pixmat_ref[0], totall_ref[0, 0])
     basis = basis_ref[:]
     dl_dm = dm_ref[0, 0]
 
@@ -342,7 +371,9 @@ def _bwd_kernel(
             sems.at[2 + jax.lax.rem(k, 2)],
         )
 
-    @pl.when(n_blocks > 0)
+    # tile t > 0's block 0 was prefetched by the previous grid step (see the
+    # cross-tile pipeline at the end of the kernel)
+    @pl.when((t == 0) & (n_blocks > 0))
     def _():
         read_dma(0).start()
 
@@ -410,6 +441,18 @@ def _bwd_kernel(
     def _():
         write_dma(kf - 1).wait()
 
+    # cross-tile pipeline: prefetch the next tile's block 0 (see _fwd_kernel)
+    nt = jnp.minimum(t + 1, n_tiles - 1)
+    n_start = start_ref[nt]
+
+    @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
+    def _():
+        pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
+            data_scr.at[pl.ds(0, 1)],
+            sems.at[0],
+        ).start()
+
 
 def core_bwd(
     xy, conic, opac, color, depth,
@@ -439,7 +482,7 @@ def core_bwd(
     # here on the XLA side — in-kernel they would need vector concatenation,
     # which Mosaic cannot lower
     q = cfg.tile_px
-    pixcot, pixmat, tot_all, tfin = jax.vmap(
+    pixcot, pixmat, tot_all = jax.vmap(
         lambda gt_, tc, td, tw_, tv, tf, dc, dd, dw, dv, dtf:
         blend.bwd_pixel_inputs(gt_, tc, td, tw_, tv, tf, dc, dd, dw, dv,
                                dtf, with_med_row=True)
@@ -464,8 +507,8 @@ def core_bwd(
             pl.BlockSpec(memory_space=pltpu.HBM),   # packed
             flat_spec(7),                            # pixcot
             flat_spec(6),                            # pixmat
-            tile_spec,                               # tot_all
-            tile_spec,                               # tfin
+            tile_spec,                               # tot_all (incl. t_final
+                                                     # cotangent term)
             tile_spec,                               # dL_dmed
             pl.BlockSpec(memory_space=pltpu.VMEM),  # basis (shared)
             pl.BlockSpec(memory_space=pltpu.HBM),   # rows init (zeros)
@@ -480,18 +523,18 @@ def core_bwd(
 
     kernel = functools.partial(
         _bwd_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
-        sub=sub,
+        sub=sub, n_tiles=t,
     )
     rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, FEAT, BLOCK), jnp.float32),
-        input_output_aliases={10: 0},
+        input_output_aliases={9: 0},
         interpret=interpret,
     )(
         tile_start, tile_stop, tile_index, packed,
         pixcot, pixmat,
-        tot_all.reshape(t, 1, q), tfin.reshape(t, 1, q),
+        tot_all.reshape(t, 1, q),
         dL_dmed.reshape(t, 1, q), basis,
         jnp.zeros((n_rows, FEAT, BLOCK), jnp.float32),
     )

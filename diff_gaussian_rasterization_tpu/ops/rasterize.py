@@ -211,7 +211,8 @@ def rasterize(
             p, cfg.instance_multiplier
         )
     binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
-                                 align=INSTANCE_ALIGN)
+                                 align=INSTANCE_ALIGN,
+                                 tile_w=cfg.tile_w, tile_h=cfg.tile_h)
 
     backend = backend or cfg.backend
     if backend == "auto":
