@@ -1,0 +1,101 @@
+"""Secondary benchmark: SLAM tracking throughput on the live chip.
+
+CG-SLAM's tracking step (reference SURVEY §3.3: pose-only backward,
+``map_off=True``) is the latency-critical inner loop of the system.  This
+measures full tracking steps/sec — each step = ``TrackingConfig.iters``
+Gauss-Newton/LM iterations of render + pose-gradient + damped solve — at
+1200x680 against a synthetic RGB-D frame, and reports the pose error after
+tracking a known perturbation.
+
+Prints ONE JSON line (same shape as bench.py).
+"""
+
+import json
+import sys
+import timeit
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_gaussian_rasterization_tpu.camera import Camera
+from diff_gaussian_rasterization_tpu.config import RasterConfig
+from diff_gaussian_rasterization_tpu.models import lie
+from diff_gaussian_rasterization_tpu.models.gaussians import GaussianModel
+from diff_gaussian_rasterization_tpu.models.slam import (
+    Frame, TrackingConfig, render_model, track_frame)
+
+H, W = 680, 1200
+P = 100_000
+
+
+def make_model(seed=0):
+    rng = np.random.RandomState(seed)
+    means = rng.uniform(-2, 2, (P, 3))
+    means[:, 2] = rng.uniform(0.8, 6.0, P)
+    quats = rng.normal(size=(P, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    sh = rng.uniform(0.1, 0.9, (P, 1, 3)) / 0.28209479177387814
+    return GaussianModel(
+        means3D=jnp.asarray(means, jnp.float32),
+        scales_log=jnp.asarray(
+            rng.uniform(np.log(0.01), np.log(0.05), (P, 3)), jnp.float32),
+        rotations=jnp.asarray(quats, jnp.float32),
+        opacities_logit=jnp.asarray(
+            np.log(1.0 / np.clip(rng.uniform(0.2, 0.95, (P, 1)), 1e-5, 1)
+                   - 1.0) * -1.0, jnp.float32),
+        sh=jnp.asarray(sh, jnp.float32),
+        active=jnp.ones((P,), bool),
+    )
+
+
+def main():
+    platform = jax.devices()[0].platform
+    model = make_model()
+    cfg = RasterConfig(tile_h=32, tile_w=32)
+    cam = Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32), tanfovx=0.82,
+                 tanfovy=0.47, height=H, width=W)
+    # GN/LM needs forward-mode pose Jacobians, which run through the dense
+    # XLA backend (custom_vjp has no JVP) — accurate but ~30 s/frame at this
+    # resolution.  First-order tracking rides the Pallas VJP path and is
+    # what CG-SLAM itself uses for per-frame odometry; GN/LM remains for
+    # keyframe refinement (models/slam.py, csrc/pose_graph.cpp).
+    tcfg = TrackingConfig(method="adam", iters=24, lr=2e-3)
+
+    # ground-truth frame rendered at identity; initial guess = small twist
+    gt = render_model(model, cam, cfg)
+    frame = Frame(jax.lax.stop_gradient(gt.color),
+                  jax.lax.stop_gradient(gt.depth[0]))
+    xi_true = jnp.asarray([0.01, -0.008, 0.006, 0.004, -0.003, 0.005],
+                          jnp.float32)
+    view0 = lie.apply_twist(cam.viewmatrix, xi_true)
+
+    view, loss, _ = track_frame(model, view0, frame, cfg, tcfg, cam)
+    jax.block_until_ready(view)
+    err0 = float(jnp.abs(view0 - cam.viewmatrix).max())
+    err = float(jnp.abs(view - cam.viewmatrix).max())
+
+    def run():
+        v, l, _ = track_frame(model, view0, frame, cfg, tcfg, cam)
+        jax.block_until_ready(v)
+
+    run()
+    n = 5
+    t = timeit.timeit(run, number=n) / n
+    print(json.dumps({
+        "metric": "tracking_steps_per_sec_1200x680",
+        "value": round(1.0 / t, 3),
+        "unit": "tracked frames/s",
+        "gn_iters": tcfg.iters,
+        "platform": platform,
+        "gaussians": P,
+        "ms_per_tracked_frame": round(t * 1e3, 3),
+        "pose_err_before": round(err0, 6),
+        "pose_err_after": round(err, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -330,7 +330,7 @@ def _bwd_kernel(
     basis_ref,
     rows_init,
     rows_out,
-    data_scr, rows_scr, sems,
+    data_scr, rows_scr, sems, state_scr,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
     n_tiles: int,
 ):
@@ -370,6 +370,29 @@ def _bwd_kernel(
             rows_out.at[pl.ds(start // BLOCK + k, 1)],
             sems.at[2 + jax.lax.rem(k, 2)],
         )
+
+    # Deferred drain of the previous tile's last row writes: instead of
+    # stalling at the end of that grid step, they complete during this
+    # step's prologue.  state_scr carries (prev start, prev kf) so the exact
+    # descriptors can be reconstructed; the waits must precede this tile's
+    # first rows_scr stores (slot reuse).
+    p_start = state_scr[0]
+    p_kf = state_scr[1]
+
+    def prev_write_dma(k):
+        return pltpu.make_async_copy(
+            rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+            rows_out.at[pl.ds(p_start // BLOCK + k, 1)],
+            sems.at[2 + jax.lax.rem(k, 2)],
+        )
+
+    @pl.when((t > 0) & (p_kf >= 2))
+    def _():
+        prev_write_dma(p_kf - 2).wait()
+
+    @pl.when((t > 0) & (p_kf >= 1))
+    def _():
+        prev_write_dma(p_kf - 1).wait()
 
     # tile t > 0's block 0 was prefetched by the previous grid step (see the
     # cross-tile pipeline at the end of the kernel)
@@ -427,17 +450,24 @@ def _bwd_kernel(
 
     kf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
 
-    # drain: an early-terminated loop leaves one read prefetch and up to two
-    # row writes in flight
+    # drain: an early-terminated loop leaves one read prefetch in flight;
+    # the up-to-two outstanding row writes are deferred to the next grid
+    # step's prologue (state_scr), overlapping its DMA latency
     @pl.when(kf < n_blocks)
     def _():
         read_dma(kf).wait()
 
-    @pl.when(kf >= 2)
+    state_scr[0] = start
+    state_scr[1] = kf
+
+    # the last grid step has no successor to drain its writes
+    last = t == n_tiles - 1
+
+    @pl.when(last & (kf >= 2))
     def _():
         write_dma(kf - 2).wait()
 
-    @pl.when(kf >= 1)
+    @pl.when(last & (kf >= 1))
     def _():
         write_dma(kf - 1).wait()
 
@@ -518,6 +548,7 @@ def core_bwd(
             pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # read double-buffer
             pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # write double-buffer
             pltpu.SemaphoreType.DMA((4,)),              # 2 read + 2 write
+            pltpu.SMEM((2,), jnp.int32),                # (prev start, prev kf)
         ],
     )
 
