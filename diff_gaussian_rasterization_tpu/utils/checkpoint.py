@@ -29,11 +29,19 @@ def save(path: str, model, est_views=None, kf_views=None, step: int = 0):
 
 def restore(path: str, model_like):
     """Restore; `model_like` provides the pytree structure/dtypes."""
+    import dataclasses
+
     ocp = _ckpt()
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         restored = ckptr.restore(path)
-    model = jax.tree.unflatten(
-        jax.tree.structure(model_like),
-        jax.tree.leaves(restored["model"]),
-    )
+    m = restored["model"]
+    if dataclasses.is_dataclass(model_like) and isinstance(m, dict):
+        # orbax round-trips dataclasses as name-keyed dicts whose
+        # (alphabetical) leaf order differs from the field order — match by
+        # name, never by position
+        model = dataclasses.replace(model_like, **m)
+    else:
+        model = jax.tree.unflatten(
+            jax.tree.structure(model_like), jax.tree.leaves(m)
+        )
     return model, restored

@@ -48,3 +48,33 @@ def test_ate_rmse_zero_for_identical():
     assert ate_rmse(views, views) == 0.0
     shifted = [v.at[3, 0].add(1.0) for v in views]
     assert ate_rmse(shifted, views) > 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    # SURVEY.md §5: the reference has no persistence; ours checkpoints the
+    # Gaussian map pytree + trajectory via orbax.
+    import jax.numpy as jnp
+
+    from diff_gaussian_rasterization_tpu.models.gaussians import GaussianModel
+    from diff_gaussian_rasterization_tpu.utils import checkpoint
+
+    p = 32
+    rng = np.random.RandomState(0)
+    model = GaussianModel(
+        means3D=jnp.asarray(rng.normal(size=(p, 3)), jnp.float32),
+        scales_log=jnp.zeros((p, 3), jnp.float32),
+        rotations=jnp.asarray(rng.normal(size=(p, 4)), jnp.float32),
+        opacities_logit=jnp.zeros((p, 1), jnp.float32),
+        sh=jnp.asarray(rng.normal(size=(p, 1, 3)), jnp.float32),
+        active=jnp.ones((p,), bool),
+    )
+    views = [jnp.eye(4, dtype=jnp.float32) for _ in range(3)]
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, model, est_views=views, step=7)
+    restored, payload = checkpoint.restore(path, model)
+    np.testing.assert_array_equal(np.asarray(restored.means3D),
+                                  np.asarray(model.means3D))
+    np.testing.assert_array_equal(np.asarray(restored.active),
+                                  np.asarray(model.active))
+    assert int(payload["step"]) == 7
+    assert len(payload["est_views"]) == 3
