@@ -31,23 +31,23 @@ H, W = 680, 1200
 P = 100_000
 
 
-def make_model(seed=0):
+def make_model(seed=0, p=P):
     rng = np.random.RandomState(seed)
-    means = rng.uniform(-2, 2, (P, 3))
-    means[:, 2] = rng.uniform(0.8, 6.0, P)
-    quats = rng.normal(size=(P, 4))
+    means = rng.uniform(-2, 2, (p, 3))
+    means[:, 2] = rng.uniform(0.8, 6.0, p)
+    quats = rng.normal(size=(p, 4))
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    sh = rng.uniform(0.1, 0.9, (P, 1, 3)) / 0.28209479177387814
+    sh = rng.uniform(0.1, 0.9, (p, 1, 3)) / 0.28209479177387814
     return GaussianModel(
         means3D=jnp.asarray(means, jnp.float32),
         scales_log=jnp.asarray(
-            rng.uniform(np.log(0.01), np.log(0.05), (P, 3)), jnp.float32),
+            rng.uniform(np.log(0.01), np.log(0.05), (p, 3)), jnp.float32),
         rotations=jnp.asarray(quats, jnp.float32),
         opacities_logit=jnp.asarray(
-            np.log(1.0 / np.clip(rng.uniform(0.2, 0.95, (P, 1)), 1e-5, 1)
+            np.log(1.0 / np.clip(rng.uniform(0.2, 0.95, (p, 1)), 1e-5, 1)
                    - 1.0) * -1.0, jnp.float32),
         sh=jnp.asarray(sh, jnp.float32),
-        active=jnp.ones((P,), bool),
+        active=jnp.ones((p,), bool),
     )
 
 
@@ -64,8 +64,11 @@ def main():
     # keyframe refinement (models/slam.py, csrc/pose_graph.cpp).
     tcfg = TrackingConfig(method="adam", iters=24, lr=2e-3)
 
-    # ground-truth frame rendered at identity; initial guess = small twist
+    # ground-truth frame rendered at identity; initial guess = small twist.
+    # The probe also sizes the static instance budget (see bench_mapping).
     gt = render_model(model, cam, cfg)
+    cfg = cfg.replace(max_instances=int(
+        -(-int(gt.num_rendered) * 1.1 // 1024) * 1024))
     frame = Frame(jax.lax.stop_gradient(gt.color),
                   jax.lax.stop_gradient(gt.depth[0]))
     xi_true = jnp.asarray([0.01, -0.008, 0.006, 0.004, -0.003, 0.005],
