@@ -57,12 +57,12 @@ def main():
     cfg = RasterConfig(tile_h=32, tile_w=32)
     cam = Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32), tanfovx=0.82,
                  tanfovy=0.47, height=H, width=W)
-    # GN/LM needs forward-mode pose Jacobians, which run through the dense
-    # XLA backend (custom_vjp has no JVP) — accurate but ~30 s/frame at this
-    # resolution.  First-order tracking rides the Pallas VJP path and is
-    # what CG-SLAM itself uses for per-frame odometry; GN/LM remains for
-    # keyframe refinement (models/slam.py, csrc/pose_graph.cpp).
-    tcfg = TrackingConfig(method="adam", iters=24, lr=2e-3)
+    # gn_fd: Gauss-Newton/LM with central-difference twist Jacobians — 13
+    # Pallas forward renders per iteration, converging in a handful of
+    # iterations where first-order tracking needs dozens.  (Exact fwd-mode
+    # GN runs through the dense XLA backend at ~30 s/frame and serves
+    # keyframe refinement; "adam" is the first-order Pallas VJP path.)
+    tcfg = TrackingConfig(method="gn_fd", iters=6)
 
     # ground-truth frame rendered at identity; initial guess = small twist.
     # The probe also sizes the static instance budget (see bench_mapping).
@@ -91,7 +91,7 @@ def main():
         "metric": "tracking_steps_per_sec_1200x680",
         "value": round(1.0 / t, 3),
         "unit": "tracked frames/s",
-        "gn_iters": tcfg.iters,
+        "method": tcfg.method, "iters": tcfg.iters,
         "platform": platform,
         "gaussians": P,
         "ms_per_tracked_frame": round(t * 1e3, 3),

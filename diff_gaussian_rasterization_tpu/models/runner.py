@@ -131,6 +131,19 @@ def init_slam(first_view, first_frame: Frame, cam_t: Camera,
         state.model, state.opt_state, state.dstate, _ = mapping_round(
             state.model, state.opt_state, state.dstate, kf,
             scfg.raster, icfg, cam_t, sub)
+    if scfg.raster.max_instances is None:
+        # Size the static instance budget from the bootstrapped map instead
+        # of the 8x-capacity default, which is ~3x oversized after
+        # exact-footprint culling and inflates every capacity-proportional
+        # stage (gathers, sorts, kernels process padded slots).  2.5x the
+        # observed count leaves headroom for densification; overflow is
+        # reported data, never silent (SURVEY §7 "no silent caps").
+        probe = render_model(state.model, Camera(
+            viewmatrix=first_view, tanfovx=cam_t.tanfovx,
+            tanfovy=cam_t.tanfovy, height=cam_t.height,
+            width=cam_t.width), scfg.raster)
+        budget = int(-(-int(probe.num_rendered) * 2.5 // 1024) * 1024)
+        scfg.raster = scfg.raster.replace(max_instances=max(budget, 1024))
     return state
 
 

@@ -65,6 +65,23 @@ def test_tracking_recovers_pose():
     assert float(best_loss) < float(losses[0])
 
 
+def test_tracking_gn_fd_recovers_pose():
+    # central-difference GN/LM on the fast forward path (TrackingConfig
+    # method="gn_fd") must converge at least as tightly as exact GN
+    model, views, frames = make_world()
+    true_view = views[1]
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.008, -0.01, 0.006])
+    view0 = lie.apply_twist(true_view, xi)
+    r0, t0 = pose_error(view0, true_view)
+
+    tcfg = TrackingConfig(iters=8, method="gn_fd", sil_threshold=0.95)
+    view_opt, best_loss, losses = track_frame(
+        model, view0, frames[1], CFG, tcfg, CAM_T)
+    r1, t1 = pose_error(view_opt, true_view)
+    assert r1 < r0 * 0.35, (r0, r1)
+    assert t1 < t0 * 0.35, (t0, t1)
+
+
 def test_mapping_improves_model():
     gt_model, views, frames = make_world()
     # corrupt colors and opacities; mapping should pull them back
