@@ -100,6 +100,10 @@ class RasterConfig:
     # gaussians processed per compute sub-chunk inside the tile kernels;
     # 128 = one whole DMA block per sub-chunk measured fastest on v5e
     chunk: int = 128
+    # tiles per Pallas grid step (statically unrolled).  Measured neutral on
+    # v5e at 836 tiles (grid-step overhead is already small); kept as a knob
+    # for architectures/shapes where step fixed costs matter
+    kernel_tile_batch: int = 1
 
     def replace(self, **kw) -> "RasterConfig":
         return dataclasses.replace(self, **kw)

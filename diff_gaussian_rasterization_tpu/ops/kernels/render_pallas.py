@@ -119,7 +119,7 @@ def _fwd_kernel(
     start_ref, stop_ref, tidx_ref,
     # inputs
     packed_hbm, gt_ref, basis_ref,
-    # fused output block [1, 12, q]: rows 0-2 color, 3 depth, 4 weight,
+    # fused output block [batch, 12, q]: rows 0-2 color, 3 depth, 4 weight,
     # 5 median, 6 var, 7 t_final, 8 n_contrib(i32 bits), 9 n_valid(i32),
     # 10 midx(i32), 11 ucross.  One output stream instead of ten: per-tile
     # output-window DMA bookkeeping dominated the kernel (~10 ms at 836
@@ -128,109 +128,119 @@ def _fwd_kernel(
     # scratch
     data_scr, sems,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
-    n_tiles: int,
+    n_tiles: int, batch: int,
 ):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
     q = cfg.tile_px
     n_sub = BLOCK // sub
-
-    # tidx maps the local grid step to a global tile id (they differ when
-    # the tile axis is sharded across devices)
-    px, py, pixmask = _pixel_vectors(
-        tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
-    )
-    gt = gt_ref[0, 0]
-    if cfg.splat_basis_power:
-        basis = basis_ref[:]
-        tx = tidx_ref[t] % tiles_x
-        ty = tidx_ref[t] // tiles_x
-        origin = ((tx * cfg.tile_w).astype(jnp.float32),
-                  (ty * cfg.tile_h).astype(jnp.float32))
-    else:
-        basis = origin = None
-
-    carry0 = blend.init_carry(q, 3, jnp.float32)
-    n_blocks = pl.cdiv(stop - start, BLOCK)
-
-    def read_dma(k):
-        return pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
-            data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
-            sems.at[jax.lax.rem(k, 2)],
-        )
-
-    # block 0 of tile t > 0 was prefetched by the previous grid step (the
-    # cross-tile pipeline below); only the first tile fetches its own
-    @pl.when((t == 0) & (n_blocks > 0))
-    def _():
-        read_dma(0).start()
-
-    def cond(state):
-        k, carry = state
-        return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
-
-    def body(state):
-        k, carry = state
-
-        # double buffering: next block's fetch overlaps this block's compute
-        @pl.when(k + 1 < n_blocks)
-        def _():
-            read_dma(k + 1).start()
-
-        read_dma(k).wait()
-        block = data_scr[jax.lax.rem(k, 2)]
-        for c in range(n_sub):
-            xy, conic, opac, color, depth, dmed = _features(block, c, sub)
-            packed = jax.lax.slice(block, (6, c * sub), (13, (c + 1) * sub))
-            off = k * BLOCK + c * sub
-            gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
-            valid = ((off + gi) < (stop - start)) & pixmask[None, :]
-            carry, _, _ = blend.blend_chunk_fwd(
-                carry, xy, conic, opac, color, depth, dmed, valid,
-                px, py, gt, off, cfg, global_base=start + off,
-                packed_rows=packed, want_instance_stats=False,
-                basis=basis, origin=origin,
-            )
-        return k + 1, carry
-
-    kf, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
-
-    # early termination can leave one prefetched block in flight; drain it so
-    # the semaphore is clean for the next grid step
-    @pl.when(kf < n_blocks)
-    def _():
-        read_dma(kf).wait()
-
-    # cross-tile pipeline: at ~2 instance blocks per tile (post-culling) the
-    # in-tile double buffer cannot hide the first DMA's latency, so issue the
-    # next tile's block 0 now — it overlaps this tile's output copy and the
-    # next step's prologue.  Slot 0 is free: every in-tile DMA was waited
-    # above, and block 0 always gets consumed (the while condition is true
-    # at k=0), keeping the semaphore balanced.
-    nt = jnp.minimum(t + 1, n_tiles - 1)
-    n_start = start_ref[nt]
-
-    @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
-    def _():
-        pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
-            data_scr.at[pl.ds(0, 1)],
-            sems.at[0],
-        ).start()
-
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-    out_ref[0, 0:3] = carry.color
-    out_ref[0, 3] = carry.depth
-    out_ref[0, 4] = carry.weight
-    out_ref[0, 5] = carry.median
-    out_ref[0, 6] = blend.finish_var(carry, gt)
-    out_ref[0, 7] = carry.t_final
-    out_ref[0, 8] = bc(carry.n_contrib)
-    out_ref[0, 9] = bc(carry.n_valid)
-    out_ref[0, 10] = bc(carry.midx)
-    out_ref[0, 11] = blend.finish_ucross(carry, gt)
+
+    # ``batch`` tiles per grid step (statically unrolled) amortize the
+    # per-step fixed costs; beyond-n_tiles padding tiles have empty segments
+    # and their output rows are sliced off outside.
+    for j in range(batch):
+        t = pl.program_id(0) * batch + j
+        start = start_ref[t]
+        stop = stop_ref[t]
+
+        # tidx maps the local grid step to a global tile id (they differ
+        # when the tile axis is sharded across devices)
+        px, py, pixmask = _pixel_vectors(
+            tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
+        )
+        gt = gt_ref[j, 0]
+        if cfg.splat_basis_power:
+            basis = basis_ref[:]
+            tx = tidx_ref[t] % tiles_x
+            ty = tidx_ref[t] // tiles_x
+            origin = ((tx * cfg.tile_w).astype(jnp.float32),
+                      (ty * cfg.tile_h).astype(jnp.float32))
+        else:
+            basis = origin = None
+
+        carry0 = blend.init_carry(q, 3, jnp.float32)
+        n_blocks = pl.cdiv(stop - start, BLOCK)
+
+        def read_dma(k, start=start):
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
+                data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                sems.at[jax.lax.rem(k, 2)],
+            )
+
+        # block 0 of tile t > 0 was prefetched while finishing the previous
+        # tile (the cross-tile pipeline below); only the very first tile
+        # fetches its own
+        @pl.when((t == 0) & (n_blocks > 0))
+        def _():
+            read_dma(0).start()
+
+        def cond(state):
+            k, carry = state
+            return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
+
+        def body(state, px=px, py=py, pixmask=pixmask, gt=gt, basis=basis,
+                 origin=origin, start=start, stop=stop):
+            k, carry = state
+
+            # double buffering: next block's fetch overlaps this compute
+            @pl.when(k + 1 < n_blocks)
+            def _():
+                read_dma(k + 1).start()
+
+            read_dma(k).wait()
+            block = data_scr[jax.lax.rem(k, 2)]
+            for c in range(n_sub):
+                xy, conic, opac, color, depth, dmed = _features(block, c,
+                                                                sub)
+                packed = jax.lax.slice(block,
+                                       (6, c * sub), (13, (c + 1) * sub))
+                off = k * BLOCK + c * sub
+                gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+                valid = ((off + gi) < (stop - start)) & pixmask[None, :]
+                carry, _, _ = blend.blend_chunk_fwd(
+                    carry, xy, conic, opac, color, depth, dmed, valid,
+                    px, py, gt, off, cfg, global_base=start + off,
+                    packed_rows=packed, want_instance_stats=False,
+                    basis=basis, origin=origin,
+                )
+            return k + 1, carry
+
+        kf, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+        # early termination can leave one prefetched block in flight; drain
+        # it so the semaphore is clean for the next tile
+        @pl.when(kf < n_blocks)
+        def _():
+            read_dma(kf).wait()
+
+        # cross-tile pipeline: at ~2 instance blocks per tile (post-culling)
+        # the in-tile double buffer cannot hide the first DMA's latency, so
+        # issue the next tile's block 0 now — it overlaps this tile's output
+        # stores and the next tile's prologue.  Slot 0 is free: every
+        # in-tile DMA was waited above, and block 0 always gets consumed
+        # (the while condition is true at k=0), keeping the semaphore
+        # balanced.
+        nt = jnp.minimum(t + 1, n_tiles - 1)
+        n_start = start_ref[nt]
+
+        @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
+        def _(n_start=n_start):
+            pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
+                data_scr.at[pl.ds(0, 1)],
+                sems.at[0],
+            ).start()
+
+        out_ref[j, 0:3] = carry.color
+        out_ref[j, 3] = carry.depth
+        out_ref[j, 4] = carry.weight
+        out_ref[j, 5] = carry.median
+        out_ref[j, 6] = blend.finish_var(carry, gt)
+        out_ref[j, 7] = carry.t_final
+        out_ref[j, 8] = bc(carry.n_contrib)
+        out_ref[j, 9] = bc(carry.n_valid)
+        out_ref[j, 10] = bc(carry.midx)
+        out_ref[j, 11] = blend.finish_ucross(carry, gt)
 
 
 def core_fwd(
@@ -240,7 +250,7 @@ def core_fwd(
     height: int, width: int, tile_batch: int = 0, interpret=None,
     tile_index=None, packed=None,
 ) -> CoreOutputs:
-    del tile_batch  # XLA-backend knob; the kernel runs one tile per grid step
+    del tile_batch  # XLA-backend knob; see cfg.kernel_tile_batch
     if interpret is None:
         interpret = _is_cpu()
     t = tile_start.shape[0]
@@ -249,27 +259,40 @@ def core_fwd(
     sub = min(cfg.chunk, BLOCK)
     assert BLOCK % sub == 0
     i_total = xy.shape[0]
+    b = max(1, cfg.kernel_tile_batch)
+    t_pad = -(-t // b) * b
 
     if packed is None:
         packed = pack_instances(xy, conic, opac, color, depth, depth_med)
 
+    def pad_t(x, value=0):
+        if t_pad == t:
+            return x
+        return jnp.pad(x, [(0, t_pad - t)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=value)
+
+    tile_start = pad_t(tile_start)
+    tile_stop = pad_t(tile_stop)
+    if tile_index is None:
+        tile_index = jnp.arange(t_pad, dtype=jnp.int32)
+    else:
+        tile_index = pad_t(tile_index)
+
     # tile tensors travel as [T, k, q] (block dims equal to array dims are
     # always legal; in-kernel no reshapes are needed); the (th, tw) spatial
     # view is reassembled outside the kernel
-    tile_spec = pl.BlockSpec((1, 1, q), lambda i, *_: (i, 0, 0),
+    tile_spec = pl.BlockSpec((b, 1, q), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 12, q), lambda i, *_: (i, 0, 0),
+    out_spec = pl.BlockSpec((b, 12, q), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    if tile_index is None:
-        tile_index = jnp.arange(t, dtype=jnp.int32)
     qx = jnp.tile(jnp.arange(cfg.tile_w, dtype=jnp.float32), cfg.tile_h)
     qy = jnp.repeat(jnp.arange(cfg.tile_h, dtype=jnp.float32), cfg.tile_w)
     basis = blend.moment_basis(qx, qy, origin=(0.0, 0.0))         # [6, q]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t,),
+        grid=(t_pad // b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed instance blocks
             tile_spec,                              # gt tiles
@@ -284,16 +307,16 @@ def core_fwd(
 
     kernel = functools.partial(
         _fwd_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
-        sub=sub, n_tiles=t,
+        sub=sub, n_tiles=t, batch=b,
     )
     f32 = jnp.float32
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, 12, q), f32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 12, q), f32),
         interpret=interpret,
     )(tile_start, tile_stop, tile_index, packed,
-      gt_tiles.reshape(t, 1, q), basis)
+      pad_t(gt_tiles.reshape(t, 1, q)), basis)[:t]
 
     ib = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     c = out[:, 0:3]
@@ -332,156 +355,162 @@ def _bwd_kernel(
     rows_out,
     data_scr, rows_scr, sems, state_scr,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
-    n_tiles: int,
+    n_tiles: int, batch: int,
 ):
     del rows_init
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
     q = cfg.tile_px
     n_sub = BLOCK // sub
-
-    px, py, pixmask = _pixel_vectors(
-        tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
-    )
-    # moment-centering origin = tile corner (matches the shared local basis)
-    tx = tidx_ref[t] % tiles_x
-    ty = tidx_ref[t] // tiles_x
-    origin = ((tx * cfg.tile_w).astype(jnp.float32),
-              (ty * cfg.tile_h).astype(jnp.float32))
-    # per-tile pixel constants, precomputed on the XLA side
-    pix = (pixcot_ref[0], pixmat_ref[0], totall_ref[0, 0])
     basis = basis_ref[:]
-    dl_dm = dm_ref[0, 0]
 
-    carry0 = blend.init_bwd_carry(q, 3, jnp.float32)
-    n_blocks = pl.cdiv(stop - start, BLOCK)
+    for j in range(batch):
+        t = pl.program_id(0) * batch + j
+        start = start_ref[t]
+        stop = stop_ref[t]
 
-    def read_dma(k):
-        return pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
-            data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
-            sems.at[jax.lax.rem(k, 2)],
+        px, py, pixmask = _pixel_vectors(
+            tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
         )
+        # moment-centering origin = tile corner (matches the shared basis)
+        tx = tidx_ref[t] % tiles_x
+        ty = tidx_ref[t] // tiles_x
+        origin = ((tx * cfg.tile_w).astype(jnp.float32),
+                  (ty * cfg.tile_h).astype(jnp.float32))
+        # per-tile pixel constants, precomputed on the XLA side
+        pix = (pixcot_ref[j], pixmat_ref[j], totall_ref[j, 0])
+        dl_dm = dm_ref[j, 0]
 
-    def write_dma(k):
-        return pltpu.make_async_copy(
-            rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
-            rows_out.at[pl.ds(start // BLOCK + k, 1)],
-            sems.at[2 + jax.lax.rem(k, 2)],
-        )
+        carry0 = blend.init_bwd_carry(q, 3, jnp.float32)
+        n_blocks = pl.cdiv(stop - start, BLOCK)
 
-    # Deferred drain of the previous tile's last row writes: instead of
-    # stalling at the end of that grid step, they complete during this
-    # step's prologue.  state_scr carries (prev start, prev kf) so the exact
-    # descriptors can be reconstructed; the waits must precede this tile's
-    # first rows_scr stores (slot reuse).
-    p_start = state_scr[0]
-    p_kf = state_scr[1]
-
-    def prev_write_dma(k):
-        return pltpu.make_async_copy(
-            rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
-            rows_out.at[pl.ds(p_start // BLOCK + k, 1)],
-            sems.at[2 + jax.lax.rem(k, 2)],
-        )
-
-    @pl.when((t > 0) & (p_kf >= 2))
-    def _():
-        prev_write_dma(p_kf - 2).wait()
-
-    @pl.when((t > 0) & (p_kf >= 1))
-    def _():
-        prev_write_dma(p_kf - 1).wait()
-
-    # tile t > 0's block 0 was prefetched by the previous grid step (see the
-    # cross-tile pipeline at the end of the kernel)
-    @pl.when((t == 0) & (n_blocks > 0))
-    def _():
-        read_dma(0).start()
-
-    def cond(state):
-        k, carry = state
-        return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
-
-    def body(state):
-        k, carry = state
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < n_blocks)
-        def _():
-            read_dma(k + 1).start()
-
-        read_dma(k).wait()
-        # the gradient-row write two blocks ago reused this slot: drain it
-        @pl.when(k >= 2)
-        def _():
-            write_dma(k - 2).wait()
-
-        block = data_scr[slot]
-        for c in range(n_sub):
-            xy, conic, opac, color, depth, _ = _features(block, c, sub)
-            packed = jax.lax.slice(block, (6, c * sub), (13, (c + 1) * sub))
-            off = k * BLOCK + c * sub
-            gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
-            valid = ((off + gi) < (stop - start)) & pixmask[None, :]
-            carry, rows = blend.blend_chunk_bwd(
-                carry, xy, conic, opac, color, depth, valid, px, py, None,
-                None, None, None, None, None,
-                None, None, None, None, dl_dm, None, cfg,
-                packed_rows=packed, pix=pix, basis=basis, origin=origin,
+        def read_dma(k, start=start):
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
+                data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                sems.at[jax.lax.rem(k, 2)],
             )
-            d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = rows
-            sl = pl.ds(c * sub, sub)
-            rows_scr[slot, 0, sl] = d_xy[:, 0]
-            rows_scr[slot, 1, sl] = d_xy[:, 1]
-            rows_scr[slot, 2, sl] = d_conic[:, 0]
-            rows_scr[slot, 3, sl] = d_conic[:, 1]
-            rows_scr[slot, 4, sl] = d_conic[:, 2]
-            rows_scr[slot, 5, sl] = d_opac
-            rows_scr[slot, 6, sl] = d_color[:, 0]
-            rows_scr[slot, 7, sl] = d_color[:, 1]
-            rows_scr[slot, 8, sl] = d_color[:, 2]
-            rows_scr[slot, 9, sl] = d_depth
-            rows_scr[slot, 10, sl] = d_dvar
-            rows_scr[slot, 11, sl] = d_dmed
-        write_dma(k).start()
-        return k + 1, carry
 
-    kf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+        def write_dma(k, start=start):
+            return pltpu.make_async_copy(
+                rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                rows_out.at[pl.ds(start // BLOCK + k, 1)],
+                sems.at[2 + jax.lax.rem(k, 2)],
+            )
 
-    # drain: an early-terminated loop leaves one read prefetch in flight;
-    # the up-to-two outstanding row writes are deferred to the next grid
-    # step's prologue (state_scr), overlapping its DMA latency
-    @pl.when(kf < n_blocks)
-    def _():
-        read_dma(kf).wait()
+        # Deferred drain of the previous tile's last row writes: instead of
+        # stalling at the end of that tile, they complete during this tile's
+        # prologue.  state_scr carries (prev start, prev pending-writes) so
+        # the exact descriptors can be reconstructed; the waits must precede
+        # this tile's first rows_scr stores (slot reuse).
+        p_start = state_scr[0]
+        p_kf = state_scr[1]
 
-    state_scr[0] = start
-    state_scr[1] = kf
+        def prev_write_dma(k, p_start=p_start):
+            return pltpu.make_async_copy(
+                rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                rows_out.at[pl.ds(p_start // BLOCK + k, 1)],
+                sems.at[2 + jax.lax.rem(k, 2)],
+            )
 
-    # the last grid step has no successor to drain its writes
-    last = t == n_tiles - 1
+        @pl.when((t > 0) & (p_kf >= 2))
+        def _(p_kf=p_kf, prev_write_dma=prev_write_dma):
+            prev_write_dma(p_kf - 2).wait()
 
-    @pl.when(last & (kf >= 2))
-    def _():
-        write_dma(kf - 2).wait()
+        @pl.when((t > 0) & (p_kf >= 1))
+        def _(p_kf=p_kf, prev_write_dma=prev_write_dma):
+            prev_write_dma(p_kf - 1).wait()
 
-    @pl.when(last & (kf >= 1))
-    def _():
-        write_dma(kf - 1).wait()
+        # tile t > 0's block 0 was prefetched while finishing the previous
+        # tile (the cross-tile pipeline below)
+        @pl.when((t == 0) & (n_blocks > 0))
+        def _(read_dma=read_dma):
+            read_dma(0).start()
 
-    # cross-tile pipeline: prefetch the next tile's block 0 (see _fwd_kernel)
-    nt = jnp.minimum(t + 1, n_tiles - 1)
-    n_start = start_ref[nt]
+        def cond(state, n_blocks=n_blocks):
+            k, carry = state
+            return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
 
-    @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
-    def _():
-        pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
-            data_scr.at[pl.ds(0, 1)],
-            sems.at[0],
-        ).start()
+        def body(state, px=px, py=py, pixmask=pixmask, pix=pix, dl_dm=dl_dm,
+                 origin=origin, start=start, stop=stop, n_blocks=n_blocks,
+                 read_dma=read_dma, write_dma=write_dma):
+            k, carry = state
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n_blocks)
+            def _():
+                read_dma(k + 1).start()
+
+            read_dma(k).wait()
+            # the gradient-row write two blocks ago reused this slot
+            @pl.when(k >= 2)
+            def _():
+                write_dma(k - 2).wait()
+
+            block = data_scr[slot]
+            for c in range(n_sub):
+                xy, conic, opac, color, depth, _ = _features(block, c, sub)
+                packed = jax.lax.slice(block,
+                                       (6, c * sub), (13, (c + 1) * sub))
+                off = k * BLOCK + c * sub
+                gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+                valid = ((off + gi) < (stop - start)) & pixmask[None, :]
+                carry, rows = blend.blend_chunk_bwd(
+                    carry, xy, conic, opac, color, depth, valid, px, py,
+                    None, None, None, None, None, None,
+                    None, None, None, None, dl_dm, None, cfg,
+                    packed_rows=packed, pix=pix, basis=basis, origin=origin,
+                )
+                d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = \
+                    rows
+                sl = pl.ds(c * sub, sub)
+                rows_scr[slot, 0, sl] = d_xy[:, 0]
+                rows_scr[slot, 1, sl] = d_xy[:, 1]
+                rows_scr[slot, 2, sl] = d_conic[:, 0]
+                rows_scr[slot, 3, sl] = d_conic[:, 1]
+                rows_scr[slot, 4, sl] = d_conic[:, 2]
+                rows_scr[slot, 5, sl] = d_opac
+                rows_scr[slot, 6, sl] = d_color[:, 0]
+                rows_scr[slot, 7, sl] = d_color[:, 1]
+                rows_scr[slot, 8, sl] = d_color[:, 2]
+                rows_scr[slot, 9, sl] = d_depth
+                rows_scr[slot, 10, sl] = d_dvar
+                rows_scr[slot, 11, sl] = d_dmed
+            write_dma(k).start()
+            return k + 1, carry
+
+        kf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+        # drain: an early-terminated loop leaves one read prefetch in
+        # flight; the up-to-two outstanding row writes are deferred to the
+        # next tile's prologue (state_scr), overlapping its DMA latency
+        @pl.when(kf < n_blocks)
+        def _(kf=kf, read_dma=read_dma):
+            read_dma(kf).wait()
+
+        # the last real tile has no successor to drain its writes; padding
+        # tiles must then see zero pending writes (double-waiting deadlocks)
+        last = t == n_tiles - 1
+        state_scr[0] = start
+        state_scr[1] = jnp.where(last, 0, kf)
+
+        @pl.when(last & (kf >= 2))
+        def _(kf=kf, write_dma=write_dma):
+            write_dma(kf - 2).wait()
+
+        @pl.when(last & (kf >= 1))
+        def _(kf=kf, write_dma=write_dma):
+            write_dma(kf - 1).wait()
+
+        # cross-tile pipeline: prefetch the next tile's block 0
+        nt = jnp.minimum(t + 1, n_tiles - 1)
+        n_start = start_ref[nt]
+
+        @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
+        def _(n_start=n_start):
+            pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
+                data_scr.at[pl.ds(0, 1)],
+                sems.at[0],
+            ).start()
 
 
 def core_bwd(
@@ -526,13 +555,26 @@ def core_bwd(
     qy = jnp.repeat(jnp.arange(th, dtype=jnp.float32), tw)
     basis = blend.moment_basis(qx, qy, origin=(0.0, 0.0))         # [6, q]
 
-    flat_spec = lambda k: pl.BlockSpec((1, k, q), lambda i, *_: (i, 0, 0),
+    b = max(1, cfg.kernel_tile_batch)
+    t_pad = -(-t // b) * b
+
+    def pad_t(x, value=0):
+        if t_pad == t:
+            return x
+        return jnp.pad(x, [(0, t_pad - t)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=value)
+
+    tile_start = pad_t(tile_start)
+    tile_stop = pad_t(tile_stop)
+    tile_index = pad_t(tile_index)
+
+    flat_spec = lambda k: pl.BlockSpec((b, k, q), lambda i, *_: (i, 0, 0),
                                        memory_space=pltpu.VMEM)
     tile_spec = flat_spec(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t,),
+        grid=(t_pad // b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # packed
             flat_spec(7),                            # pixcot
@@ -554,7 +596,7 @@ def core_bwd(
 
     kernel = functools.partial(
         _bwd_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
-        sub=sub, n_tiles=t,
+        sub=sub, n_tiles=t, batch=b,
     )
     rows = pl.pallas_call(
         kernel,
@@ -564,9 +606,9 @@ def core_bwd(
         interpret=interpret,
     )(
         tile_start, tile_stop, tile_index, packed,
-        pixcot, pixmat,
-        tot_all.reshape(t, 1, q),
-        dL_dmed.reshape(t, 1, q), basis,
+        pad_t(pixcot), pad_t(pixmat),
+        pad_t(tot_all.reshape(t, 1, q)),
+        pad_t(dL_dmed.reshape(t, 1, q)), basis,
         jnp.zeros((n_rows, FEAT, BLOCK), jnp.float32),
     )
     flat = jnp.transpose(rows, (0, 2, 1)).reshape(i_total, FEAT)
