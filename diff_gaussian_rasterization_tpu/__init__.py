@@ -31,6 +31,22 @@ from .ops.rasterize import rasterize
 
 __version__ = "0.1.0"
 
+
+def _asarray(x):
+    """Accept numpy / jax / torch inputs in the compatibility API.
+
+    CG-SLAM-style callers pass ``torch`` tensors with ``requires_grad=True``
+    (the reference is a torch extension); those refuse plain numpy
+    conversion, so detach first.  Gradients do not bridge into torch — the
+    compat surface is source-compatible for inference/porting; training
+    uses the native JAX API.
+    """
+    if x is None:
+        return None
+    if hasattr(x, "detach") and hasattr(x, "cpu"):  # torch.Tensor
+        x = x.detach().cpu().numpy()
+    return jnp.asarray(x)
+
 __all__ = [
     "Camera",
     "GaussianRasterizationSettings",
@@ -96,7 +112,8 @@ class GaussianRasterizer:
     def markVisible(self, positions):
         # reference: near-plane-only frustum test against the *settings*
         # view matrix (light __init__.py:202-211)
-        return mark_visible(positions, self.raster_settings.viewmatrix,
+        return mark_visible(_asarray(positions),
+                            _asarray(self.raster_settings.viewmatrix),
                             near=self.config.near)
 
     def __call__(self, *a, **k):
@@ -156,7 +173,7 @@ def rasterize_gaussians(
     """
     s = raster_settings
     cam = Camera(
-        viewmatrix=viewmatrix,
+        viewmatrix=_asarray(viewmatrix),
         tanfovx=float(s.tanfovx), tanfovy=float(s.tanfovy),
         height=int(s.image_height), width=int(s.image_width),
     )
@@ -164,11 +181,11 @@ def rasterize_gaussians(
     def none_if_empty(x):
         if x is None:
             return None
-        x = jnp.asarray(x)
+        x = _asarray(x)
         return None if x.size == 0 else x
 
     kwargs = dict(
-        opacities=jnp.asarray(opacities),
+        opacities=_asarray(opacities),
         scales=none_if_empty(scales),
         rotations=none_if_empty(rotations),
         cov3D_precomp=none_if_empty(cov3Ds_precomp),
@@ -176,13 +193,13 @@ def rasterize_gaussians(
         sh_degree=int(s.sh_degree),
         colors_precomp=none_if_empty(colors_precomp),
         scale_modifier=float(s.scale_modifier),
-        bg=jnp.asarray(s.bg),
-        gt_depth=None if gt_depth is None else jnp.asarray(gt_depth),
+        bg=_asarray(s.bg),
+        gt_depth=_asarray(gt_depth),
         track_off=bool(s.track_off),
         map_off=bool(s.map_off),
     )
     try:
-        out = rasterize(jnp.asarray(means3D), cam, config, **kwargs)
+        out = rasterize(_asarray(means3D), cam, config, **kwargs)
         if s.debug:
             # eager finiteness check — the functional analogue of the
             # reference's CHECK_CUDA-after-every-stage debug mode

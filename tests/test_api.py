@@ -133,3 +133,29 @@ def test_empty_tensor_convention():
         config=CFG,
     )
     assert out[0].shape == (3, 16, 16)
+
+
+def test_torch_tensor_inputs():
+    # CG-SLAM callers pass torch tensors with requires_grad=True (the
+    # reference is a torch extension); the compat surface must accept them
+    torch = pytest.importorskip("torch")
+    p = 64
+    g = torch.Generator().manual_seed(0)
+    means = torch.randn(p, 3, generator=g).requires_grad_(True)
+    means = means + torch.tensor([0.0, 0.0, 3.0])
+    means.retain_grad()
+    scales = (0.05 * torch.rand(p, 3, generator=g) + 0.01).requires_grad_(True)
+    rots = torch.randn(p, 4, generator=g).requires_grad_(True)
+    ops = torch.rand(p, 1, generator=g).requires_grad_(True)
+    cols = torch.rand(p, 3, generator=g).requires_grad_(True)
+    settings = dgr.GaussianRasterizationSettings(
+        image_height=32, image_width=48, tanfovx=0.7, tanfovy=0.5,
+        bg=torch.zeros(3), scale_modifier=1.0,
+        viewmatrix=torch.eye(4),
+    )
+    r = dgr.GaussianRasterizer(settings, config=CFG)
+    out = r(means3D=means, opacities=ops, colors_precomp=cols,
+            scales=scales, rotations=rots)
+    color = np.asarray(out[0])
+    assert color.shape == (3, 32, 48)
+    assert np.all(np.isfinite(color))
