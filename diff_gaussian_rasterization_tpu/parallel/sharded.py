@@ -192,3 +192,107 @@ def sharded_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. Distributed pose-graph refinement (Schur/normal equations over ICI)
+# ---------------------------------------------------------------------------
+
+
+def _se3_chordal_residual(xis, views, ei, ej, z):
+    """Per-edge SE(3) residual [6] around the current estimates.
+
+    Chordal form: with relative error E = Z^-1 (X_j X_i^-1) (row-convention
+    matrices, matching ``runner.refine_keyframes``'s measurements), the
+    residual stacks the skew part of E's rotation and its translation row —
+    zero iff E = I, and smooth, so JAX autodiff supplies the Jacobians the
+    native solver (csrc/pose_graph.cpp) hand-derives.
+    """
+    from ..models import lie
+
+    xi_mat = lie.apply_twist(views[ei], xis[ei])
+    xj_mat = lie.apply_twist(views[ej], xis[ej])
+    rel = xj_mat @ jnp.linalg.inv(xi_mat)
+    e = jnp.linalg.inv(z) @ rel
+    r = e[:3, :3]
+    skew = 0.5 * (r - r.T)
+    return jnp.concatenate([
+        jnp.stack([skew[2, 1], skew[0, 2], skew[1, 0]]),
+        e[3, :3],
+    ])
+
+
+def refine_poses_sharded(views, edges, zs, mesh: Mesh = None,
+                         axis: str = "kf", iters: int = 5,
+                         weights=None, prior: float = 1e6):
+    """Gauss-Newton pose-graph refinement with edge-sharded normal equations.
+
+    The reference has no multi-device anything; this is the north-star
+    "keyframe pose-graph refinement over collectives": each device builds
+    the normal-equation contributions H = J^T J, b = J^T r of its *edge
+    shard* (relinearized chordal SE(3) residuals, Jacobians by autodiff),
+    one ``psum`` over ICI forms the global 6K x 6K system, and the damped
+    solve + pose update run replicated.  Pose 0 carries a large prior
+    (gauge fix).  ``mesh=None`` runs the identical math on one device.
+
+    Args:
+      views: [K, 4, 4] row-convention w2c poses.
+      edges: [E, 2] int32 (i, j) pairs.
+      zs:    [E, 4, 4] measured relative transforms  X_j X_i^-1.
+      weights: optional [E] edge weights (use 0 to pad E to a multiple of
+        the mesh axis size).
+    Returns [K, 4, 4] refined poses.
+    """
+    from ..models import lie
+
+    views = jnp.asarray(views, jnp.float32)
+    edges = jnp.asarray(edges, jnp.int32)
+    zs = jnp.asarray(zs, jnp.float32)
+    k = views.shape[0]
+    e = edges.shape[0]
+    if weights is None:
+        weights = jnp.ones((e,), jnp.float32)
+
+    if mesh is not None:
+        n = mesh.shape[axis]
+        e_pad = -(-e // n) * n
+        edges = jnp.pad(edges, ((0, e_pad - e), (0, 0)))
+        zs = jnp.pad(zs, ((0, e_pad - e), (0, 0), (0, 0)),
+                     constant_values=0.0)
+        zs = zs.at[e:, jnp.arange(4), jnp.arange(4)].set(1.0)
+        weights = jnp.pad(weights, (0, e_pad - e))
+
+    def local_normal_eqs(vw, ed, z, w):
+        def one(edge, zm, wt):
+            def res(xis):
+                return _se3_chordal_residual(xis, vw, edge[0], edge[1], zm)
+            xis0 = jnp.zeros((k, 6), vw.dtype)
+            r = res(xis0)
+            jac = jax.jacfwd(res)(xis0).reshape(6, k * 6)
+            return wt * (jac.T @ jac), wt * (jac.T @ r)
+        hs, bs = jax.vmap(one)(ed, z, w)
+        return jnp.sum(hs, axis=0), jnp.sum(bs, axis=0)
+
+    def gn_step(vw, _):
+        if mesh is None:
+            h, b = local_normal_eqs(vw, edges, zs, weights)
+        else:
+            def local(vw_, ed, z, w):
+                h, b = local_normal_eqs(vw_, ed, z, w)
+                return (jax.lax.psum(h, axis), jax.lax.psum(b, axis))
+            h, b = shard_map_fn(
+                local, mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis)),
+                out_specs=(P(), P()),
+            )(vw, edges, zs, weights)
+        # gauge fix + LM damping
+        diag = jnp.arange(6)
+        h = h.at[diag, diag].add(prior)
+        h = h + 1e-6 * jnp.eye(k * 6, dtype=vw.dtype)
+        dx = jnp.linalg.solve(h, -b).reshape(k, 6)
+        vw = jax.vmap(lie.apply_twist)(vw, dx)
+        vw = jax.vmap(lie.orthonormalize_view)(vw)
+        return vw, None
+
+    views, _ = jax.lax.scan(gn_step, views, None, length=iters)
+    return views

@@ -151,3 +151,42 @@ def test_keyframe_sharded_grads_match():
         np.testing.assert_allclose(np.asarray(grads_s[kk]),
                                    np.asarray(grads_d[kk]),
                                    rtol=1e-4, atol=1e-6, err_msg=kk)
+
+
+def test_pose_graph_refine_sharded_matches_single_device():
+    # north-star: keyframe pose-graph refinement over collectives — the
+    # edge-sharded psum'd normal equations must match the single-device
+    # solve, and both must pull a noisy chain toward the measurements
+    from diff_gaussian_rasterization_tpu.parallel.sharded import (
+        refine_poses_sharded)
+    from diff_gaussian_rasterization_tpu.models import lie
+
+    rng = np.random.RandomState(0)
+    k = 7
+    # ground-truth chain of poses
+    gt = [jnp.eye(4, dtype=jnp.float32)]
+    for i in range(1, k):
+        xi = jnp.asarray(rng.uniform(-0.2, 0.2, 6), jnp.float32)
+        gt.append(lie.apply_twist(gt[-1], xi))
+    gt = jnp.stack(gt)
+    # exact odometry measurements, noisy initial estimates
+    edges = np.array([(i, i + 1) for i in range(k - 1)]
+                     + [(0, k - 1)], np.int32)
+    zs = jnp.stack([gt[j] @ jnp.linalg.inv(gt[i]) for i, j in edges])
+    noisy = [gt[0]]
+    for i in range(1, k):
+        xi = jnp.asarray(rng.uniform(-0.05, 0.05, 6), jnp.float32)
+        noisy.append(lie.apply_twist(gt[i], xi))
+    noisy = jnp.stack(noisy)
+
+    def chain_err(views):
+        return float(jnp.mean(jnp.abs(views - gt)))
+
+    single = refine_poses_sharded(noisy, edges, zs, mesh=None, iters=8)
+    mesh = make_mesh(shape=(len(jax.devices()),), axis_names=("kf",))
+    multi = refine_poses_sharded(noisy, edges, zs, mesh=mesh, iters=8)
+
+    assert chain_err(single) < 0.25 * chain_err(noisy), (
+        chain_err(noisy), chain_err(single))
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-5)
