@@ -197,12 +197,26 @@ def _fwd_kernel(
                 off = k * BLOCK + c * sub
                 gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
                 valid = ((off + gi) < (stop - start)) & pixmask[None, :]
-                carry, _, _ = blend.blend_chunk_fwd(
-                    carry, xy, conic, opac, color, depth, dmed, valid,
-                    px, py, gt, off, cfg, global_base=start + off,
-                    packed_rows=packed, want_instance_stats=False,
-                    basis=basis, origin=origin,
-                )
+
+                def live_chunk(carry, xy=xy, conic=conic, opac=opac,
+                               color=color, depth=depth, dmed=dmed,
+                               valid=valid, off=off, packed=packed):
+                    out, _, _ = blend.blend_chunk_fwd(
+                        carry, xy, conic, opac, color, depth, dmed, valid,
+                        px, py, gt, off, cfg, global_base=start + off,
+                        packed_rows=packed, want_instance_stats=False,
+                        basis=basis, origin=origin,
+                    )
+                    return out
+
+                if c == 0:
+                    carry = live_chunk(carry)
+                else:
+                    # sub-chunks past a tile's last instance are all-padding
+                    # (segments are 128-aligned but typically half-full);
+                    # branch around their compute entirely
+                    carry = jax.lax.cond(
+                        off < stop - start, live_chunk, lambda cr: cr, carry)
             return k + 1, carry
 
         kf, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
