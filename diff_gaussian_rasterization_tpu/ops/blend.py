@@ -387,6 +387,8 @@ def blend_chunk_bwd(
     pix=None,          # precomputed bwd_pixel_inputs tuple
     basis=None,        # precomputed moment_basis [6, Q]
     origin=None,       # moment-centering origin (must match basis)
+    want_med: bool = True,   # False when dL_dmed is structurally zero
+    want_var: bool = True,   # False when dL_dvar is structurally zero
 ):
     """One forward-ordered backward chunk.
 
@@ -500,12 +502,18 @@ def blend_chunk_bwd(
     c = color.shape[1]
     d_color = r[:, :c]
     d_depth = r[:, c]
-    d_depth_var = 2.0 * (depth * r[:, c + 1] - r[:, c + 2])
+    if want_var:
+        d_depth_var = 2.0 * (depth * r[:, c + 1] - r[:, c + 2])
+    else:
+        d_depth_var = jnp.zeros_like(d_depth)
 
-    cross = contribf * (t_excl > 0.5) * (p_incl < 0.5)
-    d_depth_med = jax.lax.dot_general(
-        cross, dL_dmed, (((1,), (0,)), ((), ())),
-        preferred_element_type=g.dtype)                           # [G]
+    if want_med:
+        cross = contribf * (t_excl > 0.5) * (p_incl < 0.5)
+        d_depth_med = jax.lax.dot_general(
+            cross, dL_dmed, (((1,), (0,)), ((), ())),
+            preferred_element_type=g.dtype)                       # [G]
+    else:
+        d_depth_med = jnp.zeros_like(d_depth)
 
     new_carry = BlendBwdCarry(
         prod=p_incl[last],

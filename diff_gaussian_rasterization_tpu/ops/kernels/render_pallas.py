@@ -369,7 +369,7 @@ def _bwd_kernel(
     rows_out,
     data_scr, rows_scr, sems, state_scr,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
-    n_tiles: int, batch: int,
+    n_tiles: int, batch: int, want_med: bool, want_var: bool,
 ):
     del rows_init
     q = cfg.tile_px
@@ -472,6 +472,7 @@ def _bwd_kernel(
                     None, None, None, None, None, None,
                     None, None, None, None, dl_dm, None, cfg,
                     packed_rows=packed, pix=pix, basis=basis, origin=origin,
+                    want_med=want_med, want_var=want_var,
                 )
                 d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = \
                     rows
@@ -534,7 +535,8 @@ def core_bwd(
     dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 0, interpret=None,
-    tile_index=None, packed=None,
+    tile_index=None, packed=None, want_med: bool = True,
+    want_var: bool = True,
 ):
     del tile_batch
     if interpret is None:
@@ -610,7 +612,7 @@ def core_bwd(
 
     kernel = functools.partial(
         _bwd_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
-        sub=sub, n_tiles=t, batch=b,
+        sub=sub, n_tiles=t, batch=b, want_med=want_med, want_var=want_var,
     )
     rows = pl.pallas_call(
         kernel,

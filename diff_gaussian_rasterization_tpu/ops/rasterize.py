@@ -113,12 +113,14 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
         zero = jnp.zeros_like(t_final)
         zero_c = jnp.zeros_like(tot_c)
 
-        def f(x, like):
-            # integer/unused cotangents arrive as float0 or None
-            if x is None or (hasattr(x, "dtype") and x.dtype == jax.dtypes.float0):
-                return like
-            return x
+        def dead(x):
+            # integer/unused cotangents arrive as float0 or None — a
+            # TRACE-TIME (structural) property, so kernels can drop the
+            # corresponding gradient streams entirely
+            return x is None or (hasattr(x, "dtype")
+                                 and x.dtype == jax.dtypes.float0)
 
+        f = lambda x, like: like if dead(x) else x
         cots = (f(cot.color, zero_c), f(cot.depth, zero),
                 f(cot.weight, zero), f(cot.var, zero),
                 f(cot.median, zero), f(cot.t_final, zero))
@@ -126,7 +128,8 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
             rows = bwd_impl(xy, conic, opac, color, depth,
                             tile_start, tile_stop, gt_tiles,
                             tot_c, tot_d, tot_w, tot_v, t_final, *cots,
-                            packed=packed, **kw)
+                            packed=packed, want_med=not dead(cot.median),
+                            want_var=not dead(cot.var), **kw)
         else:
             rows = bwd_call(xy, conic, opac, color, depth,
                             tile_start, tile_stop, gt_tiles,

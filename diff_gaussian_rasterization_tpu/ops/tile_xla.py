@@ -76,6 +76,7 @@ def core_fwd_xla(
     tile_start, tile_stop, gt_tiles,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 64, tile_index=None,
+    want_med: bool = True, want_var: bool = True,
 ) -> CoreOutputs:
     i_total = xy.shape[0]
     t = tile_start.shape[0]
@@ -182,6 +183,7 @@ def core_bwd_xla(
     dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 64, tile_index=None,
+    want_med: bool = True, want_var: bool = True,
 ):
     """Analytic backward: per-instance gradient rows via scatter-add.
 
@@ -215,6 +217,7 @@ def core_bwd_xla(
         return blend.blend_chunk_bwd(
             carry, axy, aconic, aopac, acolor, adepth, v, px, py, gt,
             tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf, cfg,
+            want_med=want_med, want_var=want_var,
         )
 
     vblend = jax.vmap(blend_fn)
