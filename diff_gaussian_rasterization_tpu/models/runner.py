@@ -38,7 +38,8 @@ class SLAMConfig:
     seed_every_px: int = 16     # backproject every Nth pixel when seeding
     init_iters: int = 50        # bootstrap mapping steps on the first frame
     motion_model: bool = True   # constant-velocity tracking initialization
-    pose_graph_refine: bool = False
+    pose_graph_refine: bool = False  # refine the keyframe chain at the end
+    refine_every: int = 0       # also refine every N keyframes (0 = off)
 
 
 @dataclasses.dataclass
@@ -182,6 +183,13 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         if means.shape[0] > 0:
             state.model, _ = add_gaussians(state.model, means, colors,
                                            scales)
+
+    if (scfg.refine_every and len(state.kf_views) >= 3
+            and frame_idx % (scfg.refine_every * scfg.keyframe_every) == 0):
+        # periodic pose-graph refinement over the keyframe chain (CG-SLAM
+        # runs this alongside mapping; the map itself lives in world frame
+        # and adapts through subsequent mapping windows)
+        state = refine_keyframes(state)
 
     if frame_idx % scfg.map_every == 0 and len(state.kf_views) >= 1:
         # window: always the latest keyframe (anchors the map to the current
