@@ -59,6 +59,14 @@ def main():
     cam = lambda v: Camera(viewmatrix=v, tanfovx=0.82, tanfovy=0.47,
                            height=H, width=W)
 
+    # scale across whatever chips exist: tile-sharded rendering over a mesh
+    # (this environment has one chip; the path is equivalence-tested on a
+    # virtual 8-device mesh in tests/test_sharding.py)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from diff_gaussian_rasterization_tpu.parallel.mesh import make_mesh
+        kw["mesh"] = make_mesh(shape=(n_dev,), axis_names=("tile",))
+
     # preflight: size the static instance budget from the true count
     probe = rasterize(scene["means3D"], cam(view), cfg, backend="xla",
                       max_instances=1024, **kw)
@@ -109,6 +117,7 @@ def main():
         "platform": platform,
         "gaussians": P,
         "ms_per_fwd_bwd": round(t * 1e3, 3),
+        "devices": len(jax.devices()),
     }))
 
 
