@@ -12,10 +12,15 @@ Prints ONE JSON line:
 
 import json
 import sys
-import time
 import timeit
 
 sys.path.insert(0, "/root/repo")
+
+from diff_gaussian_rasterization_tpu.utils.compile_cache import (
+    enable_compile_cache,
+)
+
+enable_compile_cache()
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +28,10 @@ import numpy as np
 
 from diff_gaussian_rasterization_tpu.camera import Camera
 from diff_gaussian_rasterization_tpu.config import RasterConfig
-from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
+from diff_gaussian_rasterization_tpu.ops.rasterize import (
+    count_instances,
+    rasterize,
+)
 
 CUDA_BASELINE_FWD_BWD_PER_S = 100.0
 
@@ -67,10 +75,14 @@ def main():
         from diff_gaussian_rasterization_tpu.parallel.mesh import make_mesh
         kw["mesh"] = make_mesh(shape=(n_dev,), axis_names=("tile",))
 
-    # preflight: size the static instance budget from the true count
-    probe = rasterize(scene["means3D"], cam(view), cfg, backend="xla",
-                      max_instances=1024, **kw)
-    max_instances = int(-(-int(probe.num_rendered) * 1.1 // 1024) * 1024)
+    # preflight: size the static instance budget from the true count.
+    # count_instances compiles only the preprocess (seconds), not a full
+    # render graph — the probe is what blew the round-1 driver budget.
+    n_inst = int(count_instances(
+        scene["means3D"], cam(view), cfg,
+        opacities=kw["opacities"], scales=kw["scales"],
+        rotations=kw["rotations"], colors_precomp=kw["colors_precomp"]))
+    max_instances = int(-(-n_inst * 1.1 // 1024) * 1024)
     kw["max_instances"] = max_instances
 
     def loss(means, v):
@@ -96,16 +108,16 @@ def main():
         (m, vv), _ = jax.lax.scan(body, (means, v), None, length=INNER)
         return m, vv
 
-    # sanity + compile
-    out = rasterize(scene["means3D"], cam(view), cfg, backend=backend, **kw)
-    assert not bool(out.overflow), "instance budget overflow in bench scene"
+    # budget is 1.1x the true count by construction, so no overflow check
+    # render is needed; one compile (the scanned grad step) is the whole
+    # preflight, and the persistent cache makes it warm across processes.
     step = jax.jit(many)
     g = step(scene["means3D"], view)
     jax.block_until_ready(g)
 
     run = lambda: jax.block_until_ready(step(scene["means3D"], view)[0])
     run()
-    n = 5
+    n = 3
     t = timeit.timeit(run, number=n) / n / INNER
     value = 1.0 / t
     print(json.dumps({

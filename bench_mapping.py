@@ -14,6 +14,12 @@ import timeit
 
 sys.path.insert(0, "/root/repo")
 
+from diff_gaussian_rasterization_tpu.utils.compile_cache import (
+    enable_compile_cache,
+)
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -105,6 +105,17 @@ class RasterConfig:
     # for architectures/shapes where step fixed costs matter
     kernel_tile_batch: int = 1
 
+    def __post_init__(self):
+        # the backward divides by (1 - alpha); alpha <= alpha_cap < 1 is the
+        # invariant that keeps it finite (reference caps at 0.99,
+        # forward.cu:364)
+        if not (0.0 < self.alpha_cap < 1.0):
+            raise ValueError(
+                f"alpha_cap must be in (0, 1), got {self.alpha_cap}")
+        if not (0.0 < self.alpha_min < 1.0):
+            raise ValueError(
+                f"alpha_min must be in (0, 1), got {self.alpha_min}")
+
     def replace(self, **kw) -> "RasterConfig":
         return dataclasses.replace(self, **kw)
 

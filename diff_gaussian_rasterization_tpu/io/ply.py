@@ -89,6 +89,10 @@ def load_ply(path: str, capacity: int = None) -> GaussianModel:
 
     import jax.numpy as jnp
     cap = capacity or n
+    if cap < n:
+        raise ValueError(
+            f"PLY file holds {n} Gaussians but capacity={cap}; pass "
+            f"capacity >= {n} (never a silent cap)")
     sh_degree = int(round(m ** 0.5)) - 1
     model = init_model(cap, sh_degree=sh_degree)
     pad = lambda a, fill=0.0: jnp.asarray(

@@ -51,6 +51,10 @@ class SLAMState:
     kf_frames: List
     est_views: List
     rng: jax.Array
+    # the run's RasterConfig with the instance budget sized from the
+    # bootstrapped map (init_slam); kept here rather than written back into
+    # the caller's SLAMConfig so a config object never acquires state
+    raster: Optional[RasterConfig] = None
 
 
 def backproject(frame: Frame, view, cam_t: Camera, stride: int):
@@ -132,6 +136,7 @@ def init_slam(first_view, first_frame: Frame, cam_t: Camera,
         state.model, state.opt_state, state.dstate, _ = mapping_round(
             state.model, state.opt_state, state.dstate, kf,
             scfg.raster, icfg, cam_t, sub)
+    state.raster = scfg.raster
     if scfg.raster.max_instances is None:
         # Size the static instance budget from the bootstrapped map instead
         # of the 8x-capacity default, which is ~3x oversized after
@@ -144,13 +149,15 @@ def init_slam(first_view, first_frame: Frame, cam_t: Camera,
             tanfovy=cam_t.tanfovy, height=cam_t.height,
             width=cam_t.width), scfg.raster)
         budget = int(-(-int(probe.num_rendered) * 2.5 // 1024) * 1024)
-        scfg.raster = scfg.raster.replace(max_instances=max(budget, 1024))
+        state.raster = scfg.raster.replace(
+            max_instances=max(budget, 1024))
     return state
 
 
 def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
               scfg: SLAMConfig, frame_idx: int):
     """Process one frame: track; maybe keyframe + map."""
+    rcfg = state.raster if state.raster is not None else scfg.raster
     # constant-velocity motion model: extrapolate the last relative motion
     # (row-convention: X_pred = X_{k-1} X_{k-2}^{-1} X_{k-1})
     if scfg.motion_model and len(state.est_views) >= 2:
@@ -162,7 +169,7 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
             orthonormalize_view(jnp.asarray(pred, jnp.float32)))
     else:
         view0 = state.est_views[-1]
-    view, loss, _ = track_frame(state.model, view0, frame, scfg.raster,
+    view, loss, _ = track_frame(state.model, view0, frame, rcfg,
                                 scfg.tracking, cam_t)
     state.est_views.append(view)
 
@@ -172,7 +179,7 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         # seed unobserved regions: pixels with low silhouette
         out = render_model(state.model, Camera(
             viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
-            height=cam_t.height, width=cam_t.width), scfg.raster)
+            height=cam_t.height, width=cam_t.width), rcfg)
         sil = np.asarray(out.opacity_map[0])
         holes = Frame(
             rgb=frame.rgb,
@@ -206,7 +213,7 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         state.rng, sub = jax.random.split(state.rng)
         state.model, state.opt_state, state.dstate, mloss = mapping_round(
             state.model, state.opt_state, state.dstate,
-            (kviews, krgbs, kdepths), scfg.raster, scfg.mapping, cam_t, sub)
+            (kviews, krgbs, kdepths), rcfg, scfg.mapping, cam_t, sub)
     return state, float(loss)
 
 

@@ -70,7 +70,12 @@ def rgbd_loss(out, frame: Frame, w_color: float = 1.0, w_depth: float = 0.5,
         else out.color.size
     l_color = jnp.sum(jnp.abs(out.color - frame.rgb) * color_mask) / nc
     nd = jnp.maximum(jnp.sum(depth_valid), 1)
-    depth_est = out.depth[0] / jnp.maximum(out.opacity_map[0], 1e-6)
+    # Expected-depth divisor floored at 0.5: tracking pixels pass
+    # sil > threshold anyway, and in mapping a barely-covered pixel
+    # (sil -> 0) would otherwise get its gradient scaled by ~1/sil through
+    # the quotient, destabilizing scene borders.  Below the floor this
+    # degrades smoothly toward the unnormalized accumulated depth (x2).
+    depth_est = out.depth[0] / jnp.maximum(out.opacity_map[0], 0.5)
     l_depth = jnp.sum(
         jnp.abs(depth_est - frame.depth) * depth_valid
     ) / nd

@@ -88,11 +88,14 @@ def _expand_ids(starts, cap: int):
 
 def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
                   max_instances: int, align: int = 1,
-                  tile_w: int = 0, tile_h: int = 0) -> Binned:
+                  tile_w: int = 0, tile_h: int = 0,
+                  alpha_min: float = 15.0 / 255.0) -> Binned:
     """Bin splats into per-tile depth-sorted instance segments.
 
     ``tile_w``/``tile_h`` (pixels) enable the exact ellipse-tile overlap
-    cull; 0 disables it (AABB rect only).
+    cull; 0 disables it (AABB rect only).  ``alpha_min`` must match the
+    blend's skip threshold (forward.cu:364-373) for the cull to be
+    output-preserving — the rasterize entry point passes ``cfg.alpha_min``.
     """
     p = prep.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -124,7 +127,7 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
     sg = jax.lax.stop_gradient
     rect_w = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
     op = jnp.reshape(sg(prep.opacity), (-1,))
-    lvl = jnp.log(jnp.maximum(op, 1e-12) * (255.0 / 15.0))
+    lvl = jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
     cols = jnp.stack(
         [jnp.arange(p, dtype=jnp.int32), starts, prep.rect_min[:, 0],
          prep.rect_min[:, 1], rect_w,

@@ -141,6 +141,40 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
     return core
 
 
+def count_instances(
+    means3D,
+    camera: Camera,
+    cfg: RasterConfig = RasterConfig(),
+    *,
+    opacities,
+    scales=None,
+    rotations=None,
+    cov3D_precomp=None,
+    shs=None,
+    sh_degree: int = 0,
+    colors_precomp=None,
+    scale_modifier: float = 1.0,
+    **_unused,
+):
+    """True (uncapped) tile-instance count for this scene and view.
+
+    Accepts (and ignores) the rest of :func:`rasterize`'s keyword surface
+    (``bg``, ``gt_depth``, …) so the same kwargs dict can be passed to both.
+
+    The cheap way to size ``max_instances`` before building a render graph:
+    compiles only the preprocess, not the binning/render pipeline.  Replaces
+    the reference's device→host read of ``num_rendered`` after the prefix
+    sum (rasterizer_impl.cu:286-287) as a sizing mechanism.
+    """
+    prep = preprocess(
+        means3D, camera, cfg,
+        opacities=opacities, scales=scales, rotations=rotations,
+        cov3D_precomp=cov3D_precomp, shs=shs, sh_degree=sh_degree,
+        colors_precomp=colors_precomp, scale_modifier=scale_modifier,
+    )
+    return jnp.sum(prep.tiles_touched.astype(jnp.int32))
+
+
 def rasterize(
     means3D,
     camera: Camera,
@@ -215,7 +249,8 @@ def rasterize(
         )
     binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
                                  align=INSTANCE_ALIGN,
-                                 tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+                                 tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                                 alpha_min=cfg.alpha_min)
 
     backend = backend or cfg.backend
     if backend == "auto":

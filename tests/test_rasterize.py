@@ -170,6 +170,26 @@ def test_track_off_map_off_gates():
     assert float(jnp.abs(g_v).max()) > 0.0
 
 
+def test_forward_parity_nondefault_alpha_min():
+    # the binning-level ellipse cull derives its level set from
+    # cfg.alpha_min; with a lower threshold it must keep the extra
+    # instances whose pixels now pass the blend skip test
+    cfg = CFG.replace(alpha_min=1.0 / 255.0)
+    scene, cam = make_scene(p=96, h=32, w=40, seed=0)
+    a, b = run_both(scene, cam, cfg=cfg)
+    assert_outputs_close(a, b)
+
+
+def test_count_instances_matches_num_rendered():
+    from diff_gaussian_rasterization_tpu.ops.rasterize import count_instances
+    scene, cam = make_scene(p=96, h=32, w=40, seed=0)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    n = int(count_instances(scene["means3D"], cam, CFG, **kw))
+    out = rasterize(scene["means3D"], cam, CFG, backend="xla", tile_batch=4,
+                    **kw)
+    assert n == int(out.num_rendered)
+
+
 def test_overflow_reporting():
     scene, cam = make_scene(p=96, h=32, w=40, seed=0)
     out = rasterize(
