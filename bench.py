@@ -12,7 +12,18 @@ Prints ONE JSON line:
 
 import json
 import sys
+import time
 import timeit
+
+_T0 = time.time()
+
+
+def _note(msg):
+    # stage timestamps on stderr: the JSON line on stdout stays the only
+    # stdout output, but driver-timeout forensics need to know which stage
+    # (scene, instance probe, compile, timing) ate the budget
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 sys.path.insert(0, "/root/repo")
 
@@ -35,8 +46,14 @@ from diff_gaussian_rasterization_tpu.ops.rasterize import (
 
 CUDA_BASELINE_FWD_BWD_PER_S = 100.0
 
-H, W = 680, 1200
-P = 100_000
+# Overridable for validating the multi-device branch on a small virtual
+# CPU mesh (e.g. DGR_BENCH_H=64 DGR_BENCH_W=128 DGR_BENCH_P=4096
+# DGR_BENCH_INNER=1 XLA_FLAGS=--xla_force_host_platform_device_count=8);
+# the metric of record uses the defaults.
+import os
+H = int(os.environ.get("DGR_BENCH_H", 680))
+W = int(os.environ.get("DGR_BENCH_W", 1200))
+P = int(os.environ.get("DGR_BENCH_P", 100_000))
 
 
 def make_scene(seed=0):
@@ -60,6 +77,7 @@ def make_scene(seed=0):
 def main():
     platform = jax.devices()[0].platform
     backend = "pallas" if platform in ("tpu", "axon") else "xla"
+    _note(f"devices ready: platform={platform} backend={backend}")
     cfg = RasterConfig(tile_h=32, tile_w=32)
     scene = make_scene()
     kw = {k: v for k, v in scene.items() if k != "means3D"}
@@ -78,12 +96,14 @@ def main():
     # preflight: size the static instance budget from the true count.
     # count_instances compiles only the preprocess (seconds), not a full
     # render graph — the probe is what blew the round-1 driver budget.
+    _note("scene built; probing instance count")
     n_inst = int(count_instances(
         scene["means3D"], cam(view), cfg,
         opacities=kw["opacities"], scales=kw["scales"],
         rotations=kw["rotations"], colors_precomp=kw["colors_precomp"]))
     max_instances = int(-(-n_inst * 1.1 // 1024) * 1024)
     kw["max_instances"] = max_instances
+    _note(f"instances={n_inst} budget={max_instances}; compiling step graph")
 
     def loss(means, v):
         out = rasterize(means, cam(v), cfg, backend=backend, **kw)
@@ -114,6 +134,7 @@ def main():
     step = jax.jit(many)
     g = step(scene["means3D"], view)
     jax.block_until_ready(g)
+    _note("step graph compiled + first run done; timing")
 
     run = lambda: jax.block_until_ready(step(scene["means3D"], view)[0])
     run()

@@ -95,6 +95,14 @@ class RasterConfig:
     # expansion), so it is off by default for exact reference parity.
     splat_basis_power: bool = False
 
+    # Run the blend's inclusive scans on the MXU instead of log-doubling on
+    # the VPU: the prefix sum becomes a lower-triangular-ones matmul, the
+    # prefix product exp(tri @ log(a)).  Changes only summation order /
+    # transcendental rounding (~1e-5 relative); all backends and the oracle
+    # share the same formulation so threshold decisions stay consistent.
+    scan_sum_mm: bool = False
+    scan_prod_mm: bool = False
+
     # --- backend selection ---
     backend: str = "auto"  # "pallas" | "xla" | "auto"
     # gaussians processed per compute sub-chunk inside the tile kernels;

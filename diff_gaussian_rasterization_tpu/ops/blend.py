@@ -91,6 +91,29 @@ def _dot(a, b):
     return jnp.matmul(a, b, preferred_element_type=a.dtype)
 
 
+def _tri(n, dtype):
+    """Lower-triangular ones [n, n] (generated inline; 16k elements is
+    noise next to a [G, Q] pass, and Mosaic lowers the iota compare)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r >= c).astype(dtype)
+
+
+def cumsum_incl_mm(a):
+    """Inclusive cumsum over axis 0 as one triangular MXU contraction
+    (cfg.scan_sum_mm): trades log2(G) VPU shift+add rounds for matrix-unit
+    time."""
+    return _dot(_tri(a.shape[0], a.dtype), a)
+
+
+def cumprod_incl_mm(a):
+    """Inclusive cumprod over axis 0 as exp(tri @ log(a))
+    (cfg.scan_prod_mm).  Requires a > 0 — guaranteed here because
+    a_eff = 1 - alpha >= 1 - alpha_cap > 0 on valid lanes and exactly 1 on
+    masked ones (log(1) == 0 exactly, so masked lanes stay neutral)."""
+    return jnp.exp(_dot(_tri(a.shape[0], a.dtype), jnp.log(a)))
+
+
 def splat_power(xy, conic, px, py, basis=None, origin=None):
     """Per (instance, pixel) Gaussian exponent ``power`` [G, Q].
 
@@ -222,7 +245,8 @@ def blend_chunk_fwd(
     alpha, ok = splat_alpha(xy, conic, opacity, px, py, cfg, basis, origin)
     v = (valid if valid.ndim == 2 else valid[:, None]) & ok
     a_eff = jnp.where(v, 1.0 - alpha, 1.0)
-    p_incl = carry.prod[None, :] * cumprod_incl(a_eff)           # [G, Q]
+    cprod = cumprod_incl_mm if cfg.scan_prod_mm else cumprod_incl
+    p_incl = carry.prod[None, :] * cprod(a_eff)                  # [G, Q]
     last = p_incl.shape[0] - 1  # static index (negative indexing does not
     # lower on Pallas TPU)
     t_excl = jnp.concatenate(
@@ -415,8 +439,10 @@ def blend_chunk_bwd(
     v = (valid if valid.ndim == 2 else valid[:, None]) \
         & (power <= 0.0) & (alpha >= cfg.alpha_min)
 
-    a_eff = jnp.where(v, 1.0 - alpha, 1.0)
-    p_incl = carry.prod[None, :] * cumprod_incl(a_eff)
+    oma = 1.0 - alpha
+    a_eff = jnp.where(v, oma, 1.0)
+    cprod = cumprod_incl_mm if cfg.scan_prod_mm else cumprod_incl
+    p_incl = carry.prod[None, :] * cprod(a_eff)
     last = p_incl.shape[0] - 1
     t_excl = jnp.concatenate(
         [carry.prod[None, :],
@@ -447,11 +473,12 @@ def blend_chunk_bwd(
              jnp.ones((G, 1), g.dtype)], axis=1)                  # [G, C+3]
         s = _dot(feats, pixcot)                                   # [G, Q]
 
-    pre_all = carry.pre_all[None, :] + cumsum_incl(w * s)
+    csum = cumsum_incl_mm if cfg.scan_sum_mm else cumsum_incl
+    pre_all = carry.pre_all[None, :] + csum(w * s)
     # alpha <= alpha_cap = 0.99 everywhere (including masked lanes), so
     # 1 - alpha >= 0.01 and the reciprocal needs no guard; contribf zeroes
     # masked lanes afterwards.
-    inv_oma = 1.0 / (1.0 - alpha)
+    inv_oma = 1.0 / oma
 
     # dL/dalpha_i (x T_i), with strict-suffix sums S = tot - prefix, plus the
     # t_final cotangent: d t_final / d alpha_i = -t_final/(1-alpha_i) for

@@ -72,7 +72,7 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
         )
     else:
         fwd_call = lambda *a: fwd_impl(*a, **kw)
-        bwd_call = lambda *a: bwd_impl(*a, **kw)
+        bwd_call = lambda *a, **k: bwd_impl(*a, **kw, **k)
 
     # the Pallas kernels consume the feature-planar packed layout; build it
     # once in the primal and reuse it in the backward through the residuals
@@ -101,6 +101,11 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
         return _primal(*args)[0]
 
     def core_fwd(xy, conic, opac, color, depth, depth_med, depth_var):
+        # symbolic_zeros=True wraps each primal in a CustomVJPPrimal
+        val = lambda x: x.value if hasattr(x, "value") else x
+        xy, conic, opac, color, depth, depth_med, depth_var = (
+            val(xy), val(conic), val(opac), val(color), val(depth),
+            val(depth_med), val(depth_var))
         out, packed = _primal(xy, conic, opac, color, depth, depth_med,
                               depth_var)
         res = (xy, conic, opac, color, depth, packed,
@@ -114,30 +119,35 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
         zero_c = jnp.zeros_like(tot_c)
 
         def dead(x):
-            # integer/unused cotangents arrive as float0 or None — a
-            # TRACE-TIME (structural) property, so kernels can drop the
-            # corresponding gradient streams entirely
-            return x is None or (hasattr(x, "dtype")
-                                 and x.dtype == jax.dtypes.float0)
+            # unused cotangents arrive as SymbolicZero (or float0 for the
+            # integer outputs) — a TRACE-TIME (structural) property, so the
+            # kernels drop the corresponding gradient streams entirely
+            # (want_med/want_var): the compiler-era equivalent of the
+            # reference multiplying by zero-filled dL tensors
+            if x is None or isinstance(
+                    x, jax.custom_derivatives.SymbolicZero):
+                return True
+            return hasattr(x, "dtype") and x.dtype == jax.dtypes.float0
 
         f = lambda x, like: like if dead(x) else x
         cots = (f(cot.color, zero_c), f(cot.depth, zero),
                 f(cot.weight, zero), f(cot.var, zero),
                 f(cot.median, zero), f(cot.t_final, zero))
+        want = dict(want_med=not dead(cot.median), want_var=not dead(cot.var))
         if can_share_pack:
             rows = bwd_impl(xy, conic, opac, color, depth,
                             tile_start, tile_stop, gt_tiles,
                             tot_c, tot_d, tot_w, tot_v, t_final, *cots,
-                            packed=packed, want_med=not dead(cot.median),
-                            want_var=not dead(cot.var), **kw)
+                            packed=packed, **want, **kw)
         else:
             rows = bwd_call(xy, conic, opac, color, depth,
                             tile_start, tile_stop, gt_tiles,
-                            tot_c, tot_d, tot_w, tot_v, t_final, *cots)
+                            tot_c, tot_d, tot_w, tot_v, t_final, *cots,
+                            **want)
         d_xy, d_conic, d_opac, d_color, d_depth, d_dvar, d_dmed = rows
         return d_xy, d_conic, d_opac, d_color, d_depth, d_dmed, d_dvar
 
-    core.defvjp(core_fwd, core_bwd)
+    core.defvjp(core_fwd, core_bwd, symbolic_zeros=True)
     return core
 
 

@@ -74,10 +74,13 @@ def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
             )
 
         out_specs = CoreOutputs(*([shard] * 9 + [rep, rep]))
+        # check_rep off: pallas_call cannot declare varying-mesh-axes
+        # metadata (vma) for its outputs, so replication checking must be
+        # disabled on the shard_map wrapping a Pallas kernel
         f = shard_map_fn(
             local, mesh,
             in_specs=(rep,) * 6 + (shard, shard, shard, shard),
-            out_specs=out_specs,
+            out_specs=out_specs, check_rep=False,
         )
         out = f(xy, conic, opac, color, depth, depth_med, ts, tp, gt, tidx)
         trim = lambda x: x[:t]
@@ -87,7 +90,8 @@ def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
 
     def bwd(xy, conic, opac, color, depth, tile_start, tile_stop, gt_tiles,
             tot_c, tot_d, tot_w, tot_v, t_final,
-            dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf):
+            dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf,
+            want_med: bool = True, want_var: bool = True):
         t, padded = _pad_tiles_to(
             n, tile_start, tile_stop, gt_tiles, tot_c, tot_d, tot_w, tot_v,
             t_final, dL_dc, dL_dd, dL_dw, dL_dvar, dL_dmed, dL_dtf)
@@ -98,13 +102,14 @@ def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
                   tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf, ti):
             rows = bwd_impl(xy, conic, opac, color, depth, ts, tp, gt,
                             tc, td, tw_, tv, tf, dc, dd, dw, dv, dm, dtf,
-                            cfg=cfg, tiles_x=tiles_x, tile_index=ti, **kw)
+                            cfg=cfg, tiles_x=tiles_x, tile_index=ti,
+                            want_med=want_med, want_var=want_var, **kw)
             return tuple(jax.lax.psum(r, axis) for r in rows)
 
         f = shard_map_fn(
             local, mesh,
             in_specs=(rep,) * 5 + (shard,) * 14 + (shard,),
-            out_specs=(rep,) * 7,
+            out_specs=(rep,) * 7, check_rep=False,
         )
         return f(xy, conic, opac, color, depth, *padded, tidx)
 

@@ -9,13 +9,22 @@ import timeit
 
 sys.path.insert(0, "/root/repo")
 
+from diff_gaussian_rasterization_tpu.utils.compile_cache import (
+    enable_compile_cache,
+)
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 
 from prof import make_scene, H, W
 from diff_gaussian_rasterization_tpu.camera import Camera
 from diff_gaussian_rasterization_tpu.config import RasterConfig
-from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
+from diff_gaussian_rasterization_tpu.ops.rasterize import (
+    count_instances,
+    rasterize,
+)
 
 INNER = 10
 
@@ -63,16 +72,15 @@ def main():
             over[k] = int(v) if v.isdigit() else float(v)
     scene = make_scene()
     base = RasterConfig(tile_h=32, tile_w=32)
-    probe = rasterize(scene["means3D"],
-                      Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32),
-                             tanfovx=0.82, tanfovy=0.47, height=H, width=W),
-                      base, backend="xla", max_instances=1024,
-                      opacities=scene["opacities"], scales=scene["scales"],
-                      rotations=scene["rotations"],
-                      colors_precomp=scene["colors_precomp"],
-                      bg=scene["bg"], gt_depth=scene["gt_depth"])
-    cap = int(-(-int(probe.num_rendered) * 1.1 // 1024) * 1024)
-    print(f"num_rendered={int(probe.num_rendered)} cap={cap}", flush=True)
+    n_inst = int(count_instances(
+        scene["means3D"],
+        Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32),
+               tanfovx=0.82, tanfovy=0.47, height=H, width=W),
+        base, opacities=scene["opacities"], scales=scene["scales"],
+        rotations=scene["rotations"],
+        colors_precomp=scene["colors_precomp"]))
+    cap = int(-(-n_inst * 1.1 // 1024) * 1024)
+    print(f"num_rendered={n_inst} cap={cap}", flush=True)
     tb = time_cfg(base, scene, cap)
     print(f"baseline: {tb*1e3:8.3f} ms", flush=True)
     ta = time_cfg(base.replace(**over), scene, cap)

@@ -9,6 +9,8 @@ from diff_gaussian_rasterization_tpu.config import RasterConfig
 
 from scenes import make_scene
 
+pytestmark = pytest.mark.quick
+
 CFG = RasterConfig(tile_h=8, tile_w=8, chunk=16)
 
 

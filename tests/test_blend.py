@@ -13,6 +13,8 @@ import pytest
 from diff_gaussian_rasterization_tpu.config import RasterConfig
 from diff_gaussian_rasterization_tpu.ops import blend
 
+pytestmark = pytest.mark.quick
+
 CFG = RasterConfig()
 
 
@@ -123,6 +125,50 @@ def test_analytic_bwd_matches_autodiff(splits, seed):
     for got, want in pairs:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_scan_mm_matches_log_doubling():
+    # MXU triangular-matmul scans (cfg.scan_sum_mm / scan_prod_mm) must
+    # reproduce the log-doubling scans up to summation-order /
+    # transcendental rounding
+    mm = CFG.replace(scan_sum_mm=True, scan_prod_mm=True)
+    d = make_data(g=30, q=9, opac_hi=0.99)
+    g, q = 30, 9
+
+    def fwd_with(cfg):
+        carry = blend.init_carry(q, 3, jnp.float32)
+        carry, u, npx = blend.blend_chunk_fwd(
+            carry, d["xy"], d["conic"], d["opac"], d["color"], d["depth"],
+            d["depth"], d["valid"], d["px"], d["py"], d["gt"],
+            jnp.int32(0), cfg)
+        return carry, u, npx
+
+    ca, ua, _ = fwd_with(CFG)
+    cb, ub, _ = fwd_with(mm)
+    for f in ("prod", "t_final", "color", "depth", "weight", "median",
+              "var_d", "var_dd"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ca, f)), np.asarray(getattr(cb, f)),
+            rtol=2e-5, atol=2e-6, err_msg=f)
+    np.testing.assert_allclose(np.asarray(ua), np.asarray(ub),
+                               rtol=1e-4, atol=1e-5)
+
+    rng = np.random.RandomState(7)
+    cot = tuple(jnp.asarray(rng.normal(size=s), jnp.float32)
+                for s in [(3, q), q, q, q, q, q])
+    totals = (ca.color, ca.depth, ca.weight,
+              blend.finish_var(ca, d["gt"]), ca.t_final)
+
+    def bwd_with(cfg):
+        carry = blend.init_bwd_carry(q, 3, jnp.float32)
+        _, rows = blend.blend_chunk_bwd(
+            carry, d["xy"], d["conic"], d["opac"], d["color"], d["depth"],
+            d["valid"], d["px"], d["py"], d["gt"], *totals, *cot, cfg)
+        return rows
+
+    for ra, rb in zip(bwd_with(CFG), bwd_with(mm)):
+        np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                                   rtol=1e-3, atol=1e-5)
 
 
 def test_telescoping_identity():

@@ -111,6 +111,7 @@ def test_fd_gradients_gaussian_params(param):
         _fd_check(f, scene[param], eps=1e-6, rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.quick
 def test_fd_gradient_pose_full():
     """Pose gradient with ALL branches enabled == true derivative."""
     with enable_x64():

@@ -84,6 +84,7 @@ def test_pallas_bwd_matches_xla():
                                    rtol=1e-3, atol=2e-4, err_msg=n)
 
 
+@pytest.mark.quick
 def test_rasterize_pallas_backend_end_to_end():
     scene, cam = make_scene(p=48, h=24, w=32, seed=13)
     kw = {k: v for k, v in scene.items() if k != "means3D"}

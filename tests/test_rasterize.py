@@ -47,6 +47,7 @@ def assert_outputs_close(a, b, atol=1e-5):
     np.testing.assert_array_equal(np.asarray(a.radii), np.asarray(b.radii))
 
 
+@pytest.mark.quick
 def test_forward_parity_colors_precomp():
     scene, cam = make_scene(p=96, h=32, w=40, seed=0)
     a, b = run_both(scene, cam)
@@ -188,6 +189,30 @@ def test_count_instances_matches_num_rendered():
     out = rasterize(scene["means3D"], cam, CFG, backend="xla", tile_batch=4,
                     **kw)
     assert n == int(out.num_rendered)
+
+
+@pytest.mark.quick
+def test_symbolic_zero_cotangent_gating():
+    """A loss that never touches median/var must produce the same gradients
+    as one that multiplies their cotangents by 0.0 — the former takes the
+    symbolic-zero (want_med=want_var=False) kernel path."""
+    scene, cam = make_scene(p=48, h=16, w=24, seed=6)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+
+    def loss_min(m):
+        out = rasterize(m, cam, CFG, backend="xla", tile_batch=4, **kw)
+        return jnp.sum(out.color) + jnp.sum(out.opacity_map)
+
+    def loss_zero(m):
+        out = rasterize(m, cam, CFG, backend="xla", tile_batch=4, **kw)
+        return (jnp.sum(out.color) + jnp.sum(out.opacity_map)
+                + 0.0 * jnp.sum(out.depth_median)
+                + 0.0 * jnp.sum(out.depth_var))
+
+    g1 = jax.grad(loss_min)(scene["means3D"])
+    g2 = jax.grad(loss_zero)(scene["means3D"])
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-8)
 
 
 def test_overflow_reporting():

@@ -47,6 +47,7 @@ def test_tile_sharded_render_matches_single_device():
                                   np.asarray(b.gau_related_pixels))
 
 
+@pytest.mark.quick
 def test_tile_sharded_gradients_match():
     scene, cam = make_scene(p=96, h=32, w=40, seed=3)
     kw = {k: v for k, v in scene.items() if k != "means3D"}
@@ -59,6 +60,47 @@ def test_tile_sharded_gradients_match():
                         mesh=mesh_arg, **kw)
         return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
                 + 0.1 * jnp.sum(out.depth_median))
+
+    g1 = jax.grad(loss, argnums=(0, 1))(scene["means3D"], cam.viewmatrix,
+                                        None)
+    g2 = jax.grad(loss, argnums=(0, 1))(scene["means3D"], cam.viewmatrix,
+                                        mesh)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tile_sharded_pallas_backend_matches_single_device():
+    """The production Pallas kernels (interpret mode on CPU) under
+    shard_map: fwd and bwd through make_sharded_core must match the
+    unsharded Pallas render."""
+    cfg = RasterConfig(tile_h=8, tile_w=16, chunk=32)  # tile_px % 128 == 0
+    scene, cam = make_scene(p=96, h=32, w=64, seed=11)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    mesh = make_mesh(shape=(1, len(jax.devices())), axis_names=("kf", "tile"))
+
+    def loss(means, view, mesh_arg):
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height, width=cam.width)
+        out = rasterize(means, cam2, cfg, backend="pallas",
+                        mesh=mesh_arg, **kw)
+        return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                + 0.1 * jnp.sum(out.depth_median)
+                + 0.1 * jnp.sum(out.opacity_map))
+
+    def render(mesh_arg):
+        return rasterize(scene["means3D"], cam, cfg, backend="pallas",
+                         mesh=mesh_arg, **kw)
+
+    a = render(None)
+    b = render(mesh)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.gau_uncertainty),
+                               np.asarray(b.gau_uncertainty), atol=1e-5)
 
     g1 = jax.grad(loss, argnums=(0, 1))(scene["means3D"], cam.viewmatrix,
                                         None)
