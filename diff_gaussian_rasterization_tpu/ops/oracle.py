@@ -153,8 +153,12 @@ def render_oracle(
     depth_var = unchunk(blend.finish_var(
         carries, gt_all.reshape(n_chunks, chunk)))
     if cfg.ref_depth_var:
-        # light forward.cu:317,410: D_var is declared but never accumulated.
-        depth_var = jnp.zeros_like(depth_var)
+        # light forward.cu:317,410: D_var is declared but never accumulated,
+        # yet the backward consumes dL_dout_depth_var meaningfully
+        # (light backward.cu:608,611).  Match the production op
+        # (rasterize.py) exactly: value 0, gradient of the true variance —
+        # so default-config gradients are oracle-checkable.
+        depth_var = depth_var - jax.lax.stop_gradient(depth_var)
 
     return RenderOutputs(
         color=color_img,

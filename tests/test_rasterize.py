@@ -81,14 +81,17 @@ def _loss(out, wc, include_var=True):
     return l
 
 
-@pytest.mark.parametrize("pose_full", [False, True])
-def test_gradient_parity_all_params(pose_full):
+@pytest.mark.parametrize("pose_full,ref_var", [
+    (False, False), (True, False),
+    # ref_var=True is the DEFAULT config: both oracle and production emit
+    # the reference's phantom depth-var backward (value 0, gradient of the
+    # true variance) and must agree on it.
+    (False, True),
+])
+def test_gradient_parity_all_params(pose_full, ref_var):
     cfg = CFG.replace(
         pose_cov2d_branch=pose_full, pose_sh_branch=pose_full,
-        # compare against the oracle's real depth-variance autodiff:
-        # the production op's "phantom" var backward must equal the true
-        # gradient of the true-var forward.
-        ref_depth_var=False,
+        ref_depth_var=ref_var,
     )
     scene, cam = make_scene(p=72, h=24, w=32, seed=13, sh_degree=1)
     wc = jnp.asarray(np.random.RandomState(1).uniform(0.5, 1, (3, 1, 1)),
