@@ -35,17 +35,29 @@ __version__ = "0.1.0"
 def _asarray(x):
     """Accept numpy / jax / torch inputs in the compatibility API.
 
-    CG-SLAM-style callers pass ``torch`` tensors with ``requires_grad=True``
-    (the reference is a torch extension); those refuse plain numpy
-    conversion, so detach first.  Gradients do not bridge into torch — the
-    compat surface is source-compatible for inference/porting; training
-    uses the native JAX API.
+    Torch tensors that carry ``requires_grad=True`` never reach this
+    detach: ``rasterize_gaussians`` routes them through the torch autograd
+    bridge (``torch_compat``) so gradients flow back into torch exactly as
+    with the reference extension.
     """
     if x is None:
         return None
     if hasattr(x, "detach") and hasattr(x, "cpu"):  # torch.Tensor
         x = x.detach().cpu().numpy()
     return jnp.asarray(x)
+
+
+def _wants_torch_grad(*xs):
+    """True if any input is a torch tensor with requires_grad inside an
+    enabled-grad context — the case where the reference's autograd.Function
+    would record a backward edge."""
+    live = [x for x in xs
+            if hasattr(x, "requires_grad") and hasattr(x, "cpu")]
+    if not live or not live[0].__class__.__module__.startswith("torch"):
+        return False
+    import torch
+
+    return torch.is_grad_enabled() and any(x.requires_grad for x in live)
 
 __all__ = [
     "Camera",
@@ -122,7 +134,6 @@ class GaussianRasterizer:
     def forward(self, means3D, means2D=None, opacities=None, shs=None,
                 colors_precomp=None, scales=None, rotations=None,
                 cov3D_precomp=None, viewmatrix=None, gt_depth=None):
-        del means2D  # reference keeps it for autograd bookkeeping only
         s = self.raster_settings
         if (shs is None) == (colors_precomp is None):
             raise ValueError(
@@ -136,7 +147,8 @@ class GaussianRasterizer:
                 "Please provide exactly one of either scale/rotation pair "
                 "or precomputed 3D covariance!")
         out = rasterize_gaussians(
-            means3D=means3D, shs=shs, colors_precomp=colors_precomp,
+            means3D=means3D, means2D=means2D, shs=shs,
+            colors_precomp=colors_precomp,
             opacities=opacities, scales=scales, rotations=rotations,
             cov3Ds_precomp=cov3D_precomp,
             viewmatrix=(viewmatrix if viewmatrix is not None
@@ -163,6 +175,7 @@ def rasterize_gaussians(
     gt_depth=None,
     raster_settings: GaussianRasterizationSettings = None,
     config: RasterConfig = DEFAULT_CONFIG,
+    means2D=None,
 ):
     """Functional analogue of the reference ``rasterize_gaussians``
     (light __init__.py:21-46).
@@ -170,8 +183,25 @@ def rasterize_gaussians(
     Returns the light variant's 8-tuple (light __init__.py:105):
     ``(color, radii, depth, depth_median, depth_var, opacity_map,
     gau_uncertainty, gau_related_pixels)``.
+
+    Torch callers: if any differentiable input is a torch tensor with
+    ``requires_grad=True`` (inside an enabled-grad context), the call is
+    routed through the torch autograd bridge (``torch_compat``) and returns
+    torch tensors whose ``loss.backward()`` delivers gradients — including
+    ``viewmatrix.grad`` and the ``means2D.grad`` densification statistic —
+    matching the reference's autograd.Function contract
+    (light __init__.py:48-178).
     """
     s = raster_settings
+    if _wants_torch_grad(means3D, means2D, shs, colors_precomp, opacities,
+                         scales, rotations, cov3Ds_precomp, viewmatrix):
+        from .torch_compat import rasterize_gaussians_torch
+
+        return rasterize_gaussians_torch(
+            means3D, means2D, shs, colors_precomp, opacities, scales,
+            rotations, cov3Ds_precomp,
+            viewmatrix if viewmatrix is not None else s.viewmatrix,
+            gt_depth, s, config)
     cam = Camera(
         viewmatrix=_asarray(viewmatrix),
         tanfovx=float(s.tanfovx), tanfovy=float(s.tanfovy),
@@ -199,6 +229,14 @@ def rasterize_gaussians(
         map_off=bool(s.map_off),
     )
     try:
+        if s.debug and s.prefiltered:
+            # auxiliary.h:156-160: the reference __trap()s when a
+            # prefiltered Gaussian fails the frustum test
+            from .torch_compat import _check_prefiltered
+
+            _check_prefiltered(
+                {"means3D": _asarray(means3D),
+                 "viewmatrix": cam.viewmatrix}, config)
         out = rasterize(_asarray(means3D), cam, config, **kwargs)
         if s.debug:
             # eager finiteness check — the functional analogue of the

@@ -137,27 +137,136 @@ def test_empty_tensor_convention():
     assert out[0].shape == (3, 16, 16)
 
 
-def test_torch_tensor_inputs():
-    # CG-SLAM callers pass torch tensors with requires_grad=True (the
-    # reference is a torch extension); the compat surface must accept them
-    torch = pytest.importorskip("torch")
-    p = 64
+def _torch_scene(torch, p=64, h=32, w=48):
     g = torch.Generator().manual_seed(0)
-    means = torch.randn(p, 3, generator=g).requires_grad_(True)
-    means = means + torch.tensor([0.0, 0.0, 3.0])
-    means.retain_grad()
-    scales = (0.05 * torch.rand(p, 3, generator=g) + 0.01).requires_grad_(True)
-    rots = torch.randn(p, 4, generator=g).requires_grad_(True)
-    ops = torch.rand(p, 1, generator=g).requires_grad_(True)
-    cols = torch.rand(p, 3, generator=g).requires_grad_(True)
-    settings = dgr.GaussianRasterizationSettings(
-        image_height=32, image_width=48, tanfovx=0.7, tanfovy=0.5,
-        bg=torch.zeros(3), scale_modifier=1.0,
-        viewmatrix=torch.eye(4),
+    means = (torch.randn(p, 3, generator=g)
+             + torch.tensor([0.0, 0.0, 3.0])).requires_grad_(True)
+    scene = dict(
+        means3D=means,
+        means2D=torch.zeros(p, 3, requires_grad=True),
+        scales=(0.05 * torch.rand(p, 3, generator=g)
+                + 0.01).requires_grad_(True),
+        rotations=torch.randn(p, 4, generator=g).requires_grad_(True),
+        opacities=torch.rand(p, 1, generator=g).requires_grad_(True),
+        colors_precomp=torch.rand(p, 3, generator=g).requires_grad_(True),
     )
+    view = torch.eye(4).requires_grad_(True)
+    settings = dgr.GaussianRasterizationSettings(
+        image_height=h, image_width=w, tanfovx=0.7, tanfovy=0.5,
+        bg=torch.zeros(3), scale_modifier=1.0, viewmatrix=view,
+    )
+    return scene, view, settings
+
+
+def test_torch_autograd_bridge():
+    # CG-SLAM callers pass torch tensors with requires_grad=True and call
+    # loss.backward(); gradients must land on every input — including the
+    # pose (light __init__.py:48-178) — and match jax.grad of the native op
+    torch = pytest.importorskip("torch")
+    scene, view, settings = _torch_scene(torch)
     r = dgr.GaussianRasterizer(settings, config=CFG)
-    out = r(means3D=means, opacities=ops, colors_precomp=cols,
-            scales=scales, rotations=rots)
-    color = np.asarray(out[0])
-    assert color.shape == (3, 32, 48)
-    assert np.all(np.isfinite(color))
+    out = r(means3D=scene["means3D"], means2D=scene["means2D"],
+            opacities=scene["opacities"],
+            colors_precomp=scene["colors_precomp"],
+            scales=scene["scales"], rotations=scene["rotations"],
+            viewmatrix=view)
+    color, radii, depth = out[0], out[1], out[2]
+    assert torch.is_tensor(color) and color.shape == (3, 32, 48)
+    assert color.requires_grad
+    loss = color.sum() + 0.3 * depth.sum() + 0.1 * out[5].sum()
+    loss.backward()
+    assert scene["means3D"].grad is not None
+    assert view.grad is not None and view.grad.shape == (4, 4)
+    # screen-space densification statistic (reference grad_means2D)
+    assert scene["means2D"].grad is not None
+    assert float(scene["means2D"].grad.abs().sum()) > 0
+
+    # parity with the native JAX gradients
+    import jax
+
+    jview = jnp.asarray(view.detach().numpy())
+
+    def jloss(means, v):
+        native = dgr.rasterize(
+            means,
+            dgr.Camera(viewmatrix=v, tanfovx=0.7, tanfovy=0.5,
+                       height=32, width=48),
+            CFG,
+            opacities=jnp.asarray(scene["opacities"].detach().numpy()),
+            colors_precomp=jnp.asarray(
+                scene["colors_precomp"].detach().numpy()),
+            scales=jnp.asarray(scene["scales"].detach().numpy()),
+            rotations=jnp.asarray(scene["rotations"].detach().numpy()),
+        )
+        return (jnp.sum(native.color) + 0.3 * jnp.sum(native.depth)
+                + 0.1 * jnp.sum(native.opacity_map))
+
+    gm, gv = jax.grad(jloss, argnums=(0, 1))(
+        jnp.asarray(scene["means3D"].detach().numpy()), jview)
+    np.testing.assert_allclose(scene["means3D"].grad.numpy(),
+                               np.asarray(gm), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(view.grad.numpy(), np.asarray(gv),
+                               rtol=1e-4, atol=1e-6)
+    # forward values also match
+    np.testing.assert_allclose(
+        color.detach().numpy(),
+        np.asarray(dgr.rasterize(
+            jnp.asarray(scene["means3D"].detach().numpy()),
+            dgr.Camera(viewmatrix=jview, tanfovx=0.7, tanfovy=0.5,
+                       height=32, width=48),
+            CFG,
+            opacities=jnp.asarray(scene["opacities"].detach().numpy()),
+            colors_precomp=jnp.asarray(
+                scene["colors_precomp"].detach().numpy()),
+            scales=jnp.asarray(scene["scales"].detach().numpy()),
+            rotations=jnp.asarray(scene["rotations"].detach().numpy()),
+        ).color), atol=1e-6)
+    assert radii.shape == (64,)
+
+
+def test_torch_backward_snapshot_dump(tmp_path, monkeypatch):
+    # light __init__.py:149-158: a failing backward writes
+    # snapshot_bw.dump with the host-copied backward inputs
+    torch = pytest.importorskip("torch")
+    monkeypatch.chdir(tmp_path)
+    scene, view, settings = _torch_scene(torch, p=16, h=16, w=16)
+    settings = settings._replace(debug=True)
+    r = dgr.GaussianRasterizer(settings, config=CFG)
+    out = r(means3D=scene["means3D"], opacities=scene["opacities"],
+            colors_precomp=scene["colors_precomp"],
+            scales=scene["scales"], rotations=scene["rotations"],
+            viewmatrix=view)
+    # poison the cotangent: the backward must detect the non-finite
+    # gradient stream and dump forensics
+    bad = torch.full((3, 16, 16), float("nan"))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        (out[0] * bad).sum().backward()
+    import pickle
+
+    snap = pickle.load(open(tmp_path / "snapshot_bw.dump", "rb"))
+    assert "means3D" in snap and "cotangents" in snap
+    assert np.isnan(snap["cotangents"]["color"]).all()
+
+
+def test_prefiltered_contract(tmp_path, monkeypatch):
+    # auxiliary.h:156-160: prefiltered=True promises every Gaussian passes
+    # the frustum test; debug mode enforces it eagerly
+    monkeypatch.chdir(tmp_path)
+    scene, cam = make_scene(p=16, h=16, w=16, seed=5)
+    behind = scene["means3D"].at[3, 2].set(-1.0)  # fails z > 0.2 near cull
+    settings = make_settings(cam, scene, prefiltered=True, debug=True)
+    with pytest.raises(RuntimeError, match="prefiltered"):
+        dgr.rasterize_gaussians(
+            means3D=behind, colors_precomp=scene["colors_precomp"],
+            opacities=scene["opacities"], scales=scene["scales"],
+            rotations=scene["rotations"], viewmatrix=cam.viewmatrix,
+            raster_settings=settings, config=CFG,
+        )
+    # all-visible prefiltered scene renders fine
+    out = dgr.rasterize_gaussians(
+        means3D=scene["means3D"], colors_precomp=scene["colors_precomp"],
+        opacities=scene["opacities"], scales=scene["scales"],
+        rotations=scene["rotations"], viewmatrix=cam.viewmatrix,
+        raster_settings=settings, config=CFG,
+    )
+    assert out[0].shape == (3, 16, 16)
