@@ -215,6 +215,32 @@ def finish_ucross(carry: BlendCarry, gt):
             + gt * gt * carry.ucross_w)
 
 
+def chunk_weights(prod_in, xy, conic, opacity, valid, px, py,
+                  cfg: RasterConfig, basis=None, origin=None):
+    """The forward chunk's shared first half: alphas, transmittances, blend
+    weights and the median-crossing mask for one [G, Q] block.
+
+    Returns (alpha, v, p_incl, t_excl, contrib, w, cross); used by
+    :func:`blend_chunk_fwd` and :func:`blend_chunk_fwd_jvp` so the dual
+    (tangent) pass shares the primal intermediates instead of recomputing
+    them."""
+    alpha, ok = splat_alpha(xy, conic, opacity, px, py, cfg, basis, origin)
+    v = (valid if valid.ndim == 2 else valid[:, None]) & ok
+    a_eff = jnp.where(v, 1.0 - alpha, 1.0)
+    cprod = cumprod_incl_mm if cfg.scan_prod_mm else cumprod_incl
+    p_incl = prod_in[None, :] * cprod(a_eff)                     # [G, Q]
+    last = p_incl.shape[0] - 1  # static index (negative indexing does not
+    # lower on Pallas TPU)
+    t_excl = jnp.concatenate(
+        [prod_in[None, :],
+         jax.lax.slice_in_dim(p_incl, 0, last, axis=0)], axis=0
+    )
+    contrib = v & (p_incl >= cfg.t_terminate)
+    w = jnp.where(contrib, alpha * t_excl, 0.0)                   # [G, Q]
+    cross = contrib & (t_excl > 0.5) & (p_incl < 0.5)
+    return alpha, v, p_incl, t_excl, contrib, w, cross
+
+
 def blend_chunk_fwd(
     carry: BlendCarry,
     xy, conic, opacity, color, depth, depth_med, valid,
@@ -227,6 +253,7 @@ def blend_chunk_fwd(
     want_instance_stats: bool = True,
     basis=None,
     origin=None,
+    precomputed=None,
 ):
     """Blend one front-to-back chunk of instances into the carry.
 
@@ -237,26 +264,18 @@ def blend_chunk_fwd(
       tile membership, used by the oracle to reproduce tile binning).
       px, py, gt: [Q].
       base_index: scalar int32, global index of this chunk's first instance.
+      precomputed: optional result of :func:`chunk_weights` (the jvp path
+      computes it once and shares it).
 
     Returns:
       (new_carry, u_inst [G], npix_inst [G]) — per-instance uncertainty and
       related-pixel counts from the median crossing (forward.cu:386-387).
     """
-    alpha, ok = splat_alpha(xy, conic, opacity, px, py, cfg, basis, origin)
-    v = (valid if valid.ndim == 2 else valid[:, None]) & ok
-    a_eff = jnp.where(v, 1.0 - alpha, 1.0)
-    cprod = cumprod_incl_mm if cfg.scan_prod_mm else cumprod_incl
-    p_incl = carry.prod[None, :] * cprod(a_eff)                  # [G, Q]
-    last = p_incl.shape[0] - 1  # static index (negative indexing does not
-    # lower on Pallas TPU)
-    t_excl = jnp.concatenate(
-        [carry.prod[None, :],
-         jax.lax.slice_in_dim(p_incl, 0, last, axis=0)], axis=0
-    )
-    contrib = v & (p_incl >= cfg.t_terminate)
-    w = jnp.where(contrib, alpha * t_excl, 0.0)                   # [G, Q]
-
-    cross = contrib & (t_excl > 0.5) & (p_incl < 0.5)
+    if precomputed is None:
+        precomputed = chunk_weights(carry.prod, xy, conic, opacity, valid,
+                                    px, py, cfg, basis, origin)
+    alpha, v, p_incl, t_excl, contrib, w, cross = precomputed
+    last = p_incl.shape[0] - 1
     crossf = cross.astype(w.dtype)
 
     g = xy.shape[0]
@@ -341,6 +360,140 @@ def blend_chunk_fwd(
         ucross_w=carry.ucross_w + ucc_w,
     )
     return new_carry, u_inst, npix_inst
+
+
+class JvpCarry(NamedTuple):
+    """Running state for the dual (forward + K pose tangents) pass.
+
+    The tangent streams are length-K tuples of [Q] / [C, Q] arrays — tuples
+    rather than stacked [K, Q] tensors because Mosaic cannot concatenate
+    freshly computed vectors along a major axis, and K is small and static.
+
+    Math (selection masks frozen, as everywhere in this backward design):
+    with ``s_i = dalpha_i / (1 - alpha_i)`` summed over contributors,
+    ``dT_i = -T_i * S_i``, so ``dw_i = w_i * (dpower_i - S^excl_i)`` and
+    every accumulated output tangent is one extra contraction against dw.
+    """
+
+    primal: BlendCarry
+    s: tuple       # K x [Q]: running sum of s over contributors
+    color: tuple   # K x [C, Q]
+    depth: tuple   # K x [Q]
+    weight: tuple  # K x [Q]
+    median: tuple  # K x [Q]
+
+
+def init_jvp_carry(q: int, k: int, channels: int = 3,
+                   dtype=jnp.float32) -> JvpCarry:
+    z = lambda: jnp.zeros((q,), dtype)
+    return JvpCarry(
+        primal=init_carry(q, channels, dtype),
+        s=tuple(z() for _ in range(k)),
+        color=tuple(jnp.zeros((channels, q), dtype) for _ in range(k)),
+        depth=tuple(z() for _ in range(k)),
+        weight=tuple(z() for _ in range(k)),
+        median=tuple(z() for _ in range(k)),
+    )
+
+
+def blend_chunk_fwd_jvp(
+    carry: JvpCarry,
+    xy, conic, opacity, color, depth, depth_med,
+    tan_xy, tan_depth,
+    valid, px, py, gt,
+    base_index: jnp.ndarray,
+    cfg: RasterConfig,
+    global_base=None,
+    packed_rows=None,
+    want_instance_stats: bool = False,
+    tan_depth_med=None,
+):
+    """Forward chunk plus exact pose-tangent propagation (K tangents).
+
+    Tangents enter only through the splat centers and depths
+    (``tan_xy`` K x [G, 2], ``tan_depth`` K x [G]) — the light variant's own
+    pose-Jacobian design: the Sigma2D (conic) branch is dropped
+    (README.md:53-58) and SH color pose terms don't exist at sh_degree 0.
+    Derivation: ``alpha = min(cap, op * exp(power))`` gives
+    ``dalpha = alpha * dpower`` on uncapped lanes (0 on capped);
+    ``dpower = -(A dxp + B dyp) dx - (C dyp + B dxp) dy``;
+    ``dT/T = -sum dalpha/(1-alpha)`` over preceding contributors.  The
+    median tangent freezes the crossing selection (mid_once,
+    backward.cu:654-664): ``dmedian = sum over crossing of
+    d(depth_med)``, supplied via ``tan_depth_med`` — None means the
+    median-value stream carries no tangent (the production routing: the
+    median reads ``depth_sgview``, whose pose derivative is stopped).
+
+    Requires the direct (non-basis) splat path: ``cfg.splat_basis_power``
+    must be off.
+
+    Returns (new_carry, u_inst, npix_inst).
+    """
+    assert not cfg.splat_basis_power, (
+        "pose-jvp requires the direct splat path")
+    k_t = len(tan_xy)
+    pc = carry.primal
+    pre = chunk_weights(pc.prod, xy, conic, opacity, valid, px, py, cfg)
+    alpha, v, p_incl, t_excl, contrib, w, cross = pre
+
+    new_pc, u_inst, npix_inst = blend_chunk_fwd(
+        pc, xy, conic, opacity, color, depth, depth_med, valid, px, py, gt,
+        base_index, cfg, global_base=global_base, packed_rows=packed_rows,
+        want_instance_stats=want_instance_stats, precomputed=pre,
+    )
+
+    g = xy.shape[0]
+    c = color.shape[1]
+    # shared across tangents: quadratic-form partials and the s-rate
+    dxp = xy[:, 0:1] - px[None, :]
+    dyp = xy[:, 1:2] - py[None, :]
+    a_, b_, c_ = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
+    gx = a_ * dxp + b_ * dyp        # -d(power)/d(x_i)
+    gy = c_ * dyp + b_ * dxp        # -d(power)/d(y_i)
+    capped = alpha >= cfg.alpha_cap
+    live = contrib & ~capped
+    rate = jnp.where(live, alpha / (1.0 - alpha), 0.0)
+    crossf = cross.astype(w.dtype)
+    if packed_rows is None:
+        ones_g = jnp.ones((g,), w.dtype)
+        packed_rows = jnp.concatenate(
+            [color.T, depth[None, :], depth_med[None, :],
+             (depth * depth)[None, :], ones_g[None, :]], axis=0)
+    csum = cumsum_incl_mm if cfg.scan_sum_mm else cumsum_incl
+
+    new_s, new_col, new_dep, new_wgt, new_med = [], [], [], [], []
+    for k in range(k_t):
+        dpow = -(gx * tan_xy[k][:, 0:1] + gy * tan_xy[k][:, 1:2])  # [G, Q]
+        s = rate * dpow
+        s_tot = carry.s[k][None, :] + csum(s)       # inclusive global S
+        s_excl = s_tot - s
+        dw = w * (jnp.where(capped, 0.0, dpow) - s_excl)
+        dsum = _dot(packed_rows, dw)                # [C+4, Q]
+        dd_row = tan_depth[k][None, :]
+        dd_w = _dot(dd_row, w)                      # [1, Q]
+        last = g - 1
+        new_s.append(s_tot[last])
+        new_col.append(carry.color[k] + dsum[:c])
+        new_dep.append(carry.depth[k] + dsum[c] + dd_w[0])
+        new_wgt.append(carry.weight[k] + dsum[c + 3])
+        if tan_depth_med is None:
+            new_med.append(carry.median[k])
+        else:
+            dd_med = _dot(tan_depth_med[k][None, :], crossf)
+            new_med.append(carry.median[k] + dd_med[0])
+
+    new_carry = JvpCarry(
+        primal=new_pc, s=tuple(new_s), color=tuple(new_col),
+        depth=tuple(new_dep), weight=tuple(new_wgt), median=tuple(new_med),
+    )
+    return new_carry, u_inst, npix_inst
+
+
+def finish_t_final_tangent(carry: JvpCarry):
+    """K x [Q] tangents of t_final: ``dT_final = -T_final * S_final``
+    (s is zero past termination, so the running S ends at the last
+    contributor — exactly where t_final froze)."""
+    return tuple(-carry.primal.t_final * s for s in carry.s)
 
 
 class BlendBwdCarry(NamedTuple):

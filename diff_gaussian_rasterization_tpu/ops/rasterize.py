@@ -31,6 +31,8 @@ Gradient routing notes (all verified against the oracle's autodiff):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -334,3 +336,167 @@ def rasterize(
         num_rendered=binn.num_rendered,
         overflow=binn.overflow,
     )
+
+
+class PoseJvpOutputs(NamedTuple):
+    """Primal render plus K exact pose-directional derivatives.
+
+    ``tangents["color"]`` is [K, C, H, W]; ``depth``/``opacity_map``/
+    ``depth_median`` are [K, H, W].  Tangent selection rules follow the
+    light variant's pose Jacobian: derivatives flow through splat centers
+    and depths only (the Sigma2D/conic branch is dropped, README.md:53-58;
+    median/termination selections are frozen, backward.cu:654-664).
+    """
+
+    out: RenderOutputs
+    color: jnp.ndarray
+    depth: jnp.ndarray
+    opacity_map: jnp.ndarray
+    depth_median: jnp.ndarray
+
+
+def rasterize_with_pose_jvp(
+    means3D,
+    camera: Camera,
+    cfg: RasterConfig,
+    view_tangents,
+    *,
+    opacities,
+    scales=None,
+    rotations=None,
+    cov3D_precomp=None,
+    colors_precomp=None,
+    shs=None,
+    sh_degree: int = 0,
+    scale_modifier: float = 1.0,
+    bg=None,
+    gt_depth=None,
+    max_instances=None,
+    tile_batch: int = 64,
+    backend=None,
+) -> PoseJvpOutputs:
+    """Render plus K exact pose-tangent images in ONE pass.
+
+    ``view_tangents`` is [K, 4, 4] (directions in view-matrix space, e.g.
+    the 6 twist-basis derivatives of ``lie.apply_twist``).  This is the
+    forward-mode companion of the custom-VJP core: Gauss-Newton tracking
+    gets the full (Npix x K) residual Jacobian for ~the cost of one dual
+    render instead of K+1 finite-difference renders or a jacfwd through the
+    dense XLA pipeline (reference cost shape: 13 FD renders/iteration).
+
+    Binning (sort order, tile ranges, validity) is computed on the primal
+    and frozen — its derivative is zero almost everywhere, exactly like the
+    reference's saved-buffer backward (ctx.save_for_backward).
+    """
+    h, w = camera.height, camera.width
+    dtype = means3D.dtype
+    k_t = view_tangents.shape[0]
+    if bg is None:
+        bg = jnp.zeros((3,), dtype)
+    if gt_depth is None:
+        gt_depth = jnp.zeros((h, w), dtype)
+    gt_depth = gt_depth.reshape(h, w)
+
+    prep_kw = dict(
+        opacities=opacities, scales=scales, rotations=rotations,
+        cov3D_precomp=cov3D_precomp, shs=shs, sh_degree=sh_degree,
+        colors_precomp=colors_precomp, scale_modifier=scale_modifier,
+    )
+
+    def xy_depth_of_view(vm):
+        cam2 = Camera(viewmatrix=vm, tanfovx=camera.tanfovx,
+                      tanfovy=camera.tanfovy, height=h, width=w,
+                      znear=camera.znear, zfar=camera.zfar)
+        p = preprocess(means3D, cam2, cfg, **prep_kw)
+        return p.xy, p.depth
+
+    # one linearization, K cheap tangent evaluations (the pose enters the
+    # per-Gaussian features through projection only)
+    _, lin = jax.linearize(xy_depth_of_view, camera.viewmatrix)
+    tans = [lin(view_tangents[k]) for k in range(k_t)]
+
+    prep = preprocess(means3D, camera, cfg, **prep_kw)
+    tiles_x, tiles_y = grid_dims(h, w, cfg.tile_h, cfg.tile_w)
+    p = means3D.shape[0]
+    if max_instances is None:
+        max_instances = cfg.max_instances or default_max_instances(
+            p, cfg.instance_multiplier
+        )
+    binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
+                                 align=INSTANCE_ALIGN,
+                                 tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                                 alpha_min=cfg.alpha_min)
+    ids = binn.gauss_id
+
+    feat = jnp.concatenate(
+        [prep.xy, prep.conic, prep.opacity[:, None], prep.color,
+         prep.depth[:, None], prep.depth_sgview[:, None]]
+        + [t for dxy, dd in tans for t in (dxy, dd[:, None])], axis=1)
+    inst = feat[ids]
+    inst_xy = inst[:, 0:2]
+    inst_conic = inst[:, 2:5]
+    inst_opac = inst[:, 5]
+    inst_color = inst[:, 6:9]
+    inst_depth = inst[:, 9]
+    inst_depth_med = inst[:, 10]
+    tan_xy = tuple(inst[:, 11 + 3 * k: 13 + 3 * k] for k in range(k_t))
+    tan_depth = tuple(inst[:, 13 + 3 * k] for k in range(k_t))
+
+    gt_tiles = img_to_tiles(gt_depth, cfg.tile_h, cfg.tile_w)
+
+    backend = backend or cfg.backend
+    if backend == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        backend = "pallas" if on_tpu and cfg.tile_px % 128 == 0 else "xla"
+    kw = dict(cfg=cfg, tiles_x=tiles_x, capacity=max_instances,
+              height=h, width=w, tile_batch=tile_batch)
+    if backend == "pallas":
+        from .kernels import render_pallas
+        out, tano = render_pallas.core_fwd_jvp(
+            inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
+            inst_depth_med, tan_xy, tan_depth,
+            binn.tile_start, binn.tile_stop, gt_tiles, **kw)
+    else:
+        out, tano = tile_xla.core_fwd_jvp_xla(
+            inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
+            inst_depth_med, tan_xy, tan_depth,
+            binn.tile_start, binn.tile_stop, gt_tiles, **kw)
+
+    to_img = lambda x: tiles_to_img(x, h, w, cfg.tile_h, cfg.tile_w)
+    color_tiles = out.color + out.t_final[:, None, :] * bg[None, :, None]
+    color_img = tiles_to_img(
+        jnp.moveaxis(color_tiles, 1, 0), h, w, cfg.tile_h, cfg.tile_w)
+
+    sg = jax.lax.stop_gradient
+    var_tiles = out.var
+    if cfg.ref_depth_var:
+        var_tiles = var_tiles - sg(var_tiles)
+    u_inst = sg(out.u_inst)
+    gau_u = jnp.zeros((p,), dtype).at[ids].add(u_inst)
+    gau_npix = jnp.zeros((p,), jnp.int32).at[ids].add(out.npix_inst)
+    primal = RenderOutputs(
+        color=color_img,
+        radii=prep.radius,
+        depth=to_img(out.depth)[None],
+        depth_median=to_img(out.median)[None],
+        depth_var=to_img(var_tiles)[None],
+        opacity_map=to_img(out.weight)[None],
+        gau_uncertainty=gau_u[:, None],
+        gau_related_pixels=gau_npix[:, None],
+        n_contrib=to_img(out.n_contrib),
+        n_valid=to_img(out.n_valid),
+        num_rendered=binn.num_rendered,
+        overflow=binn.overflow,
+    )
+
+    dcolor = jnp.stack([
+        tiles_to_img(
+            jnp.moveaxis(tano.color[k] + tano.t_final[k][:, None, :]
+                         * bg[None, :, None], 1, 0),
+            h, w, cfg.tile_h, cfg.tile_w)
+        for k in range(k_t)])
+    ddepth = jnp.stack([to_img(tano.depth[k]) for k in range(k_t)])
+    dweight = jnp.stack([to_img(tano.weight[k]) for k in range(k_t)])
+    dmed = jnp.stack([to_img(tano.median[k]) for k in range(k_t)])
+    return PoseJvpOutputs(out=primal, color=dcolor, depth=ddepth,
+                          opacity_map=dweight, depth_median=dmed)

@@ -174,6 +174,150 @@ def core_fwd_xla(
     return CoreOutputs(*(unbatch(y) for y in ys), u_inst, npix_inst)
 
 
+class PoseTangents(NamedTuple):
+    """K pose-tangent streams of the render core (tile-major, like
+    CoreOutputs).  Each field is a length-K tuple."""
+
+    color: tuple    # K x [T, C, Q]
+    depth: tuple    # K x [T, Q]
+    weight: tuple   # K x [T, Q]
+    median: tuple   # K x [T, Q]
+    t_final: tuple  # K x [T, Q]
+
+
+def core_fwd_jvp_xla(
+    xy, conic, opac, color, depth, depth_med,
+    tan_xy, tan_depth,
+    tile_start, tile_stop, gt_tiles,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int,
+    height: int, width: int, tile_batch: int = 64, tile_index=None,
+):
+    """Forward pass plus K exact pose tangents (``blend_chunk_fwd_jvp``).
+
+    ``tan_xy``: K-tuple of [P-instances, 2]; ``tan_depth``: K-tuple of [I].
+    Returns (CoreOutputs, PoseTangents).  Instance stats (u_inst/npix) are
+    produced like the forward's; tangents cover the differentiable image
+    outputs only.
+    """
+    i_total = xy.shape[0]
+    t = tile_start.shape[0]
+    q = cfg.tile_px
+    g = min(cfg.chunk, capacity)
+    n_chunks = -(-capacity // g)
+    dtype = xy.dtype
+    channels = color.shape[1]
+    k_t = len(tan_xy)
+
+    if tile_index is None:
+        tile_index = jnp.arange(t, dtype=jnp.int32)
+    nb, tpad, (starts, stops, gt_p, tidx) = _pad_tiles(
+        [tile_start, tile_stop, gt_tiles, tile_index], t, tile_batch,
+    )
+
+    def blend_fn(carry, axy, aconic, aopac, acolor, adepth, admed,
+                 atxy, atd, v, px, py, gt, base, gbase):
+        return blend.blend_chunk_fwd_jvp(
+            carry, axy, aconic, aopac, acolor, adepth, admed, atxy, atd,
+            v, px, py, gt, base, cfg, global_base=gbase,
+            want_instance_stats=True,
+        )
+
+    vblend = jax.vmap(
+        blend_fn, in_axes=(0,) * 9 + (0, 0, 0, 0, None, 0),
+        out_axes=(0, 0, 0),
+    )
+
+    def batch_body(acc, args):
+        u_acc, np_acc = acc
+        start, stop, gt_t, ti = args
+        tb = start.shape[0]
+        px, py = _pixel_coords(ti, tiles_x, cfg.tile_h, cfg.tile_w, dtype)
+        pixmask = (px < width) & (py < height)
+        vzf = _vzero(gt_t, dtype)
+        vzi = _vzero(start, jnp.int32)
+        z = lambda: jnp.zeros((tb, q), dtype) + vzf
+        carry0 = blend.JvpCarry(
+            primal=blend.BlendCarry(
+                prod=jnp.ones((tb, q), dtype) + vzf,
+                t_final=jnp.ones((tb, q), dtype) + vzf,
+                color=jnp.zeros((tb, channels, q), dtype) + vzf, depth=z(),
+                weight=z(), median=z(), var_dd=z(), var_d=z(),
+                n_contrib=jnp.zeros((tb, q), jnp.int32) + vzi,
+                n_valid=jnp.zeros((tb, q), jnp.int32) + vzi,
+                midx=jnp.full((tb, q), -1, jnp.int32) + vzi,
+                ucross_dd=z(), ucross_d=z(), ucross_w=z(),
+            ),
+            s=tuple(z() for _ in range(k_t)),
+            color=tuple(jnp.zeros((tb, channels, q), dtype) + vzf
+                        for _ in range(k_t)),
+            depth=tuple(z() for _ in range(k_t)),
+            weight=tuple(z() for _ in range(k_t)),
+            median=tuple(z() for _ in range(k_t)),
+        )
+        maxcnt = jnp.max(stop - start)
+
+        def chunk_body(state, k0):
+            carry, u_a, np_a = state
+
+            def do(operand):
+                carry, u_a, np_a = operand
+                idx = start[:, None] + k0 + jnp.arange(g, dtype=jnp.int32)[None]
+                v = (idx < stop[:, None])[:, :, None] & pixmask[:, None, :]
+                idxc = jnp.clip(idx, 0, i_total - 1)
+                new_carry, u_rows, np_rows = vblend(
+                    carry, xy[idxc], conic[idxc], opac[idxc], color[idxc],
+                    depth[idxc], depth_med[idxc],
+                    tuple(tx[idxc] for tx in tan_xy),
+                    tuple(td[idxc] for td in tan_depth),
+                    v, px, py, gt_t, k0, start + k0,
+                )
+                return (
+                    new_carry,
+                    u_a.at[idxc].add(u_rows),
+                    np_a.at[idxc].add(np_rows),
+                )
+
+            active = (k0 < maxcnt) & jnp.any(
+                carry.primal.prod >= cfg.t_terminate)
+            state2 = jax.lax.cond(active, do, lambda s: s,
+                                  (carry, u_a, np_a))
+            return state2, None
+
+        (carry, u_acc, np_acc), _ = jax.lax.scan(
+            chunk_body, (carry0, u_acc, np_acc),
+            jnp.arange(n_chunks, dtype=jnp.int32) * g,
+        )
+        pc = carry.primal
+        ys = (pc.color, pc.depth, pc.weight, pc.median,
+              blend.finish_var(pc, gt_t), pc.t_final,
+              pc.n_contrib, pc.n_valid, pc.midx,
+              carry.color, carry.depth, carry.weight, carry.median,
+              blend.finish_t_final_tangent(carry))
+        return (u_acc, np_acc), ys
+
+    vzf0 = _vzero(gt_p, dtype)
+    vzi0 = _vzero(starts, jnp.int32)
+    (u_inst, npix_inst), ys = jax.lax.scan(
+        batch_body,
+        (jnp.zeros((i_total,), dtype) + vzf0,
+         jnp.zeros((i_total,), jnp.int32) + vzi0),
+        tuple(a.reshape(nb, tile_batch, *a.shape[1:])
+              for a in (starts, stops, gt_p, tidx)),
+    )
+
+    def unbatch(x):
+        return x.reshape(tpad, *x.shape[2:])[:t]
+
+    def unbatch_t(xs):
+        return tuple(unbatch(x) for x in xs)
+
+    out = CoreOutputs(*(unbatch(y) for y in ys[:9]), u_inst, npix_inst)
+    tans = PoseTangents(unbatch_t(ys[9]), unbatch_t(ys[10]),
+                        unbatch_t(ys[11]), unbatch_t(ys[12]),
+                        unbatch_t(ys[13]))
+    return out, tans
+
+
 def core_bwd_xla(
     xy, conic, opac, color, depth,
     tile_start, tile_stop, gt_tiles,

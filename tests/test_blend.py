@@ -179,3 +179,64 @@ def test_telescoping_identity():
     np.testing.assert_allclose(
         np.asarray(carry.weight), 1.0 - np.asarray(carry.t_final), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("splits", [[], [13], [7, 20]])
+def test_jvp_chunk_matches_autodiff_jvp(splits):
+    """blend_chunk_fwd_jvp's analytic pose tangents (through xy and depth,
+    the light variant's pose-Jacobian surface) must equal jax.jvp of
+    blend_chunk_fwd — including across chunk boundaries via the carry."""
+    g, q, k_t = 30, 9, 3
+    d = make_data(g=g, q=q, seed=2, opac_hi=0.99)
+    rng = np.random.RandomState(5)
+    tan_xy = jnp.asarray(rng.normal(size=(k_t, g, 2)), jnp.float32)
+    tan_d = jnp.asarray(rng.normal(size=(k_t, g)), jnp.float32)
+
+    def run_primal(xy, depth):
+        carry = blend.init_carry(q, 3, jnp.float32)
+        bounds = [0] + splits + [g]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            sl = slice(a, b)
+            carry, _, _ = blend.blend_chunk_fwd(
+                carry, xy[sl], d["conic"][sl], d["opac"][sl],
+                d["color"][sl], depth[sl], depth[sl], d["valid"][sl],
+                d["px"], d["py"], d["gt"], jnp.int32(a), CFG,
+            )
+        return (carry.color, carry.depth, carry.weight, carry.median,
+                carry.t_final)
+
+    def run_jvp():
+        carry = blend.init_jvp_carry(q, k_t, 3, jnp.float32)
+        bounds = [0] + splits + [g]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            sl = slice(a, b)
+            carry, _, _ = blend.blend_chunk_fwd_jvp(
+                carry, d["xy"][sl], d["conic"][sl], d["opac"][sl],
+                d["color"][sl], d["depth"][sl], d["depth"][sl],
+                tuple(t[sl] for t in tan_xy),
+                tuple(t[sl] for t in tan_d),
+                d["valid"][sl], d["px"], d["py"], d["gt"], jnp.int32(a), CFG,
+                tan_depth_med=tuple(t[sl] for t in tan_d),
+            )
+        return carry
+
+    jc = run_jvp()
+    dtf = blend.finish_t_final_tangent(jc)
+    # primal parity
+    p = run_primal(d["xy"], d["depth"])
+    for a, b, n in zip(p, (jc.primal.color, jc.primal.depth,
+                           jc.primal.weight, jc.primal.median,
+                           jc.primal.t_final),
+                       ("color", "depth", "weight", "median", "t_final")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=n)
+    # tangent parity vs jax.jvp, per tangent direction
+    for k in range(k_t):
+        _, tans = jax.jvp(run_primal, (d["xy"], d["depth"]),
+                          (tan_xy[k], tan_d[k]))
+        got = (jc.color[k], jc.depth[k], jc.weight[k], jc.median[k], dtf[k])
+        for a, b, n in zip(tans, got,
+                           ("color", "depth", "weight", "median",
+                            "t_final")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5, err_msg=n)

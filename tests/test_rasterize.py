@@ -227,3 +227,54 @@ def test_overflow_reporting():
     )
     assert bool(out.overflow)
     assert int(out.num_rendered) > 64
+
+
+@pytest.mark.quick
+def test_pose_jvp_matches_jacfwd():
+    """rasterize_with_pose_jvp's exact one-pass tangents == jacfwd of the
+    pure-XLA pipeline (the dense forward-mode reference), for all four
+    tangent image streams and the primal outputs."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.ops.rasterize import (
+        rasterize_with_pose_jvp,
+    )
+
+    scene, cam = make_scene(p=96, h=32, w=40, seed=21)
+    kw = {k: v for k, v in scene.items()
+          if k not in ("means3D", "bg", "gt_depth")}
+    view0 = cam.viewmatrix
+
+    # twist-basis tangent matrices at xi=0
+    tw_basis = jax.jacfwd(lambda xi: lie.apply_twist(view0, xi))(
+        jnp.zeros((6,), jnp.float32))                  # [4, 4, 6]
+    tangents = jnp.moveaxis(tw_basis, -1, 0)           # [6, 4, 4]
+
+    j = rasterize_with_pose_jvp(
+        scene["means3D"], cam, CFG, tangents, bg=scene["bg"],
+        gt_depth=scene["gt_depth"], backend="xla", tile_batch=4, **kw)
+
+    def render_of_xi(xi):
+        view = lie.apply_twist(view0, xi)
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height,
+                      width=cam.width)
+        out = rasterize(scene["means3D"], cam2, CFG, backend="xla",
+                        tile_batch=4, use_custom_vjp=False, bg=scene["bg"],
+                        gt_depth=scene["gt_depth"], **kw)
+        return (out.color, out.depth[0], out.opacity_map[0],
+                out.depth_median[0])
+
+    ref = render_of_xi(jnp.zeros((6,), jnp.float32))
+    np.testing.assert_allclose(np.asarray(j.out.color), np.asarray(ref[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j.out.depth[0]),
+                               np.asarray(ref[1]), atol=1e-6)
+
+    jac = jax.jacfwd(render_of_xi)(jnp.zeros((6,), jnp.float32))
+    for got, want, name in (
+            (j.color, jnp.moveaxis(jac[0], -1, 0), "color"),
+            (j.depth, jnp.moveaxis(jac[1], -1, 0), "depth"),
+            (j.opacity_map, jnp.moveaxis(jac[2], -1, 0), "opacity_map"),
+            (j.depth_median, jnp.moveaxis(jac[3], -1, 0), "depth_median")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
