@@ -145,45 +145,72 @@ def _track_jit(model, view0, rgb, depth, cfg: RasterConfig,
                                              "tanfovx", "tanfovy"))
 def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
                   tcfg: TrackingConfig, height, width, tanfovx, tanfovy):
-    """Gauss-Newton / Levenberg-Marquardt pose tracking.
+    """Exact Gauss-Newton / Levenberg-Marquardt pose tracking.
 
     The 6-DoF pose is a textbook small-parameter least-squares problem; a
-    damped normal-equations solve on Huber-weighted pixel residuals converges
-    in ~10 iterations where first-order methods orbit the narrow valley of
-    the silhouette-masked loss.  The residual Jacobian (Npix x 6) comes from
-    6 forward-mode passes through the pure-XLA render core (the custom-VJP
-    Pallas path stays reserved for mapping, which differentiates millions of
-    Gaussian parameters and needs reverse mode).
+    damped normal-equations solve on Huber-weighted pixel residuals
+    converges in ~10 iterations where first-order methods orbit the narrow
+    valley of the silhouette-masked loss.  The (Npix x 6) residual Jacobian
+    comes from ``rasterize_with_pose_jvp`` — ONE dual render propagating
+    all 6 exact twist tangents through the blend (~3x one render), instead
+    of 13 finite-difference renders (``gn_fd``) or a jacfwd through the
+    dense XLA pipeline.
     """
+    from ..ops.rasterize import rasterize_with_pose_jvp
+
     frame = Frame(rgb, depth)
     sqc = jnp.sqrt(tcfg.w_color)
     sqd = jnp.sqrt(tcfg.w_depth)
+    kwm = model.raster_kwargs()
 
-    def residuals(xi):
-        view = lie.apply_twist(view0, xi)
-        cam = Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
-                     height=height, width=width)
-        out = render_model(model, cam, cfg, gt_depth=depth, map_off=True,
-                           use_custom_vjp=False)
+    def cam_of(view):
+        return Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
+                      height=height, width=width)
+
+    def res_of(out, m):
         sil = out.opacity_map[0]
-        m = jax.lax.stop_gradient(
-            (sil > tcfg.sil_threshold) & (frame.depth > 0)
-        ).astype(rgb.dtype)
         rc = ((out.color - frame.rgb) * m[None]).reshape(-1)
         depth_est = out.depth[0] / jnp.maximum(sil, 1e-6)
         rd = ((depth_est - frame.depth) * m).reshape(-1)
         return jnp.concatenate([sqc * rc, sqd * rd])
+
+    def mask_of(out):
+        return ((out.opacity_map[0] > tcfg.sil_threshold)
+                & (frame.depth > 0)).astype(rgb.dtype)
+
+    def residuals(xi):
+        out = render_model(model, cam_of(lie.apply_twist(view0, xi)), cfg,
+                           gt_depth=depth, map_off=True, track_off=True)
+        return res_of(out, mask_of(out))
+
+    def res_jac(xi):
+        view = lie.apply_twist(view0, xi)
+        # twist-basis tangents of the view matrix at the current xi
+        tw = jax.jacfwd(lambda x: lie.apply_twist(view0, x))(xi)  # [4,4,6]
+        j = rasterize_with_pose_jvp(
+            model.means3D, cam_of(view), cfg, jnp.moveaxis(tw, -1, 0),
+            gt_depth=depth, **kwm)
+        out = j.out
+        m = mask_of(out)
+        r = res_of(out, m)
+        sil = out.opacity_map[0]
+        silc = jnp.maximum(sil, 1e-6)
+        dsil = jnp.where(sil > 1e-6, j.opacity_map, 0.0)       # [6, H, W]
+        jc = (j.color * m[None, None]).reshape(6, -1)
+        jd = ((j.depth * silc[None] - out.depth[0][None] * dsil)
+              / (silc * silc)[None] * m[None]).reshape(6, -1)
+        jac = jnp.concatenate([sqc * jc, sqd * jd], axis=1)     # [6, N]
+        return r, jac
 
     def cost_of(r):
         w = 1.0 / jnp.sqrt(1.0 + (r / tcfg.huber) ** 2)  # Huber IRLS weight
         return 0.5 * jnp.sum(w * r * r), w
 
     def gn_eval(xi):
-        r = residuals(xi)
-        jac = jax.jacfwd(residuals)(xi)
+        r, jac = res_jac(xi)
         cost, w = cost_of(r)
-        jw = jac * w[:, None]
-        return jw.T @ jac, jw.T @ r, cost
+        jw = jac * w[None, :]
+        return jw @ jac.T, jw @ r, cost
 
     def step(carry, _):
         xi, lam, best_xi, best_cost = carry

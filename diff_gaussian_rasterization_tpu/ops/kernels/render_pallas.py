@@ -357,6 +357,268 @@ def core_fwd(
 
 
 # --------------------------------------------------------------------------
+# forward + pose tangents (dual forward)
+# --------------------------------------------------------------------------
+
+TAN_PER_K = 3  # tangent feature rows per direction: dx, dy, ddepth
+
+
+def pack_tangents(tan_xy, tan_depth):
+    """K-tuples of [I, 2] / [I] -> [I // BLOCK, TFEAT, BLOCK] planes.
+
+    Row layout per tangent k: 3k + (0: dx, 1: dy, 2: ddepth); rows are
+    padded up to a sublane multiple of 8.
+    """
+    i = tan_xy[0].shape[0]
+    assert i % BLOCK == 0
+    k_t = len(tan_xy)
+    tfeat = -(-(TAN_PER_K * k_t) // 8) * 8
+    cols = []
+    for k in range(k_t):
+        cols += [tan_xy[k], tan_depth[k][:, None]]
+    cols.append(jnp.zeros((i, tfeat - TAN_PER_K * k_t), tan_xy[0].dtype))
+    flat = jnp.concatenate(cols, axis=1)
+    return jnp.transpose(flat.reshape(i // BLOCK, BLOCK, tfeat), (0, 2, 1))
+
+
+def _jvp_kernel(
+    start_ref, stop_ref, tidx_ref,
+    packed_hbm, tan_hbm, gt_ref,
+    # fused output block [batch, 12 + 6K, q]: rows 0-11 as _fwd_kernel;
+    # then per tangent k: dcolor(3), ddepth, dweight, dt_final
+    out_ref,
+    data_scr, tan_scr, sems, tsems,
+    *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
+    n_tiles: int, batch: int, k_t: int,
+):
+    q = cfg.tile_px
+    n_sub = BLOCK // sub
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    for j in range(batch):
+        t = pl.program_id(0) * batch + j
+        start = start_ref[t]
+        stop = stop_ref[t]
+        px, py, pixmask = _pixel_vectors(
+            tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
+        )
+        gt = gt_ref[j, 0]
+
+        carry0 = blend.init_jvp_carry(q, k_t, 3, jnp.float32)
+        n_blocks = pl.cdiv(stop - start, BLOCK)
+
+        def read_dma(k, start=start):
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
+                data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                sems.at[jax.lax.rem(k, 2)],
+            )
+
+        def read_tan_dma(k, start=start):
+            return pltpu.make_async_copy(
+                tan_hbm.at[pl.ds(start // BLOCK + k, 1)],
+                tan_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                tsems.at[jax.lax.rem(k, 2)],
+            )
+
+        @pl.when(n_blocks > 0)
+        def _():
+            read_dma(0).start()
+            read_tan_dma(0).start()
+
+        def cond(state):
+            k, carry = state
+            return (k < n_blocks) & jnp.any(
+                carry.primal.prod >= cfg.t_terminate)
+
+        def body(state, px=px, py=py, pixmask=pixmask, gt=gt,
+                 start=start, stop=stop):
+            k, carry = state
+
+            @pl.when(k + 1 < n_blocks)
+            def _():
+                read_dma(k + 1).start()
+                read_tan_dma(k + 1).start()
+
+            read_dma(k).wait()
+            read_tan_dma(k).wait()
+            block = data_scr[jax.lax.rem(k, 2)]
+            tblock = tan_scr[jax.lax.rem(k, 2)]
+            for c in range(n_sub):
+                xy, conic, opac, color, depth, dmed = _features(block, c,
+                                                                sub)
+                packed = jax.lax.slice(block,
+                                       (6, c * sub), (13, (c + 1) * sub))
+                tan_xy = tuple(
+                    jnp.stack([_sub(tblock[3 * kk], c, sub),
+                               _sub(tblock[3 * kk + 1], c, sub)], -1)
+                    for kk in range(k_t))
+                tan_d = tuple(_sub(tblock[3 * kk + 2], c, sub)
+                              for kk in range(k_t))
+                off = k * BLOCK + c * sub
+                gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+                valid = ((off + gi) < (stop - start)) & pixmask[None, :]
+
+                def live_chunk(carry, xy=xy, conic=conic, opac=opac,
+                               color=color, depth=depth, dmed=dmed,
+                               tan_xy=tan_xy, tan_d=tan_d,
+                               valid=valid, off=off, packed=packed):
+                    out, _, _ = blend.blend_chunk_fwd_jvp(
+                        carry, xy, conic, opac, color, depth, dmed,
+                        tan_xy, tan_d, valid, px, py, gt, off, cfg,
+                        global_base=start + off, packed_rows=packed,
+                        want_instance_stats=False,
+                    )
+                    return out
+
+                if c == 0:
+                    carry = live_chunk(carry)
+                else:
+                    carry = jax.lax.cond(
+                        off < stop - start, live_chunk, lambda cr: cr, carry)
+            return k + 1, carry
+
+        kf, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+        @pl.when(kf < n_blocks)
+        def _():
+            read_dma(kf).wait()
+            read_tan_dma(kf).wait()
+
+        pc = carry.primal
+        out_ref[j, 0:3] = pc.color
+        out_ref[j, 3] = pc.depth
+        out_ref[j, 4] = pc.weight
+        out_ref[j, 5] = pc.median
+        out_ref[j, 6] = blend.finish_var(pc, gt)
+        out_ref[j, 7] = pc.t_final
+        out_ref[j, 8] = bc(pc.n_contrib)
+        out_ref[j, 9] = bc(pc.n_valid)
+        out_ref[j, 10] = bc(pc.midx)
+        out_ref[j, 11] = blend.finish_ucross(pc, gt)
+        dtf = blend.finish_t_final_tangent(carry)
+        for kk in range(k_t):
+            r = 12 + 6 * kk
+            out_ref[j, r:r + 3] = carry.color[kk]
+            out_ref[j, r + 3] = carry.depth[kk]
+            out_ref[j, r + 4] = carry.weight[kk]
+            out_ref[j, r + 5] = dtf[kk]
+
+
+def core_fwd_jvp(
+    xy, conic, opac, color, depth, depth_med,
+    tan_xy, tan_depth,
+    tile_start, tile_stop, gt_tiles,
+    *, cfg: RasterConfig, tiles_x: int, capacity: int,
+    height: int, width: int, tile_batch: int = 0, interpret=None,
+    tile_index=None,
+):
+    """Pallas dual forward: primal render + K exact pose tangents.
+
+    Same grid/DMA structure as :func:`core_fwd` with a second feature-plane
+    stream for the tangents; ~(1 + 0.4K)x the forward's per-block op count
+    instead of K+1 full renders.  Returns (CoreOutputs, PoseTangents) like
+    :func:`tile_xla.core_fwd_jvp_xla`.  The median tangent is structurally
+    zero (the median stream reads the pose-stopped depth copy), so
+    PoseTangents.median is zeros.
+    """
+    from ..tile_xla import PoseTangents
+
+    del tile_batch
+    if interpret is None:
+        interpret = _is_cpu()
+    t = tile_start.shape[0]
+    q = cfg.tile_px
+    assert q % 128 == 0
+    sub = min(cfg.chunk, BLOCK)
+    i_total = xy.shape[0]
+    k_t = len(tan_xy)
+    b = max(1, cfg.kernel_tile_batch)
+    t_pad = -(-t // b) * b
+
+    packed = pack_instances(xy, conic, opac, color, depth, depth_med)
+    tpacked = pack_tangents(tan_xy, tan_depth)
+    tfeat = tpacked.shape[1]
+
+    def pad_t(x, value=0):
+        if t_pad == t:
+            return x
+        return jnp.pad(x, [(0, t_pad - t)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=value)
+
+    tile_start = pad_t(tile_start)
+    tile_stop = pad_t(tile_stop)
+    if tile_index is None:
+        tile_index = jnp.arange(t_pad, dtype=jnp.int32)
+    else:
+        tile_index = pad_t(tile_index)
+
+    rows = 12 + 6 * k_t
+    tile_spec = pl.BlockSpec((b, 1, q), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((b, rows, q), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_pad // b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # packed primal blocks
+            pl.BlockSpec(memory_space=pltpu.HBM),   # packed tangent blocks
+            tile_spec,                               # gt tiles
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),
+            pltpu.VMEM((2, tfeat, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _jvp_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
+        sub=sub, n_tiles=t, batch=b, k_t=k_t,
+    )
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, rows, q), f32),
+        interpret=interpret,
+    )(tile_start, tile_stop, tile_index, packed, tpacked,
+      pad_t(gt_tiles.reshape(t, 1, q)))[:t]
+
+    ib = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    c = out[:, 0:3]
+    d, wgt, med, var, tf = (out[:, 3], out[:, 4], out[:, 5], out[:, 6],
+                            out[:, 7])
+    ncon, nval, midx = ib(out[:, 8]), ib(out[:, 9]), ib(out[:, 10])
+    ucross = out[:, 11]
+
+    fm = midx.reshape(-1)
+    fu = ucross.reshape(-1)
+    safe = fm >= 0
+    sidx = jnp.where(safe, fm, 0)
+    u_inst = jnp.zeros((i_total,), f32).at[sidx].add(
+        jnp.where(safe, fu, 0.0))
+    npix_inst = jnp.zeros((i_total,), jnp.int32).at[sidx].add(
+        safe.astype(jnp.int32))
+
+    primal = CoreOutputs(c, d, wgt, med, var, tf, ncon, nval, midx,
+                         u_inst, npix_inst)
+    zeros = tuple(jnp.zeros_like(d) for _ in range(k_t))
+    tans = PoseTangents(
+        color=tuple(out[:, 12 + 6 * k: 15 + 6 * k] for k in range(k_t)),
+        depth=tuple(out[:, 15 + 6 * k] for k in range(k_t)),
+        weight=tuple(out[:, 16 + 6 * k] for k in range(k_t)),
+        median=zeros,
+        t_final=tuple(out[:, 17 + 6 * k] for k in range(k_t)),
+    )
+    return primal, tans
+
+
+# --------------------------------------------------------------------------
 # backward
 # --------------------------------------------------------------------------
 

@@ -111,3 +111,65 @@ def test_rasterize_pallas_backend_end_to_end():
                                rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(g_x[1]), np.asarray(g_p[1]),
                                rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.quick
+def test_pallas_jvp_matches_xla():
+    """The dual-forward Pallas kernel (interpret mode) == the XLA jvp
+    driver: primal streams and all K pose-tangent streams."""
+    scene, cam, binn, args, gt_tiles, kw = setup()
+    k_t = 6
+    i = args[0].shape[0]
+    rng = np.random.RandomState(3)
+    tan_xy = tuple(jnp.asarray(rng.normal(size=(i, 2)), jnp.float32)
+                   for _ in range(k_t))
+    tan_d = tuple(jnp.asarray(rng.normal(size=(i,)), jnp.float32)
+                  for _ in range(k_t))
+
+    a = tile_xla.core_fwd_jvp_xla(
+        *args, tan_xy, tan_d, binn.tile_start, binn.tile_stop, gt_tiles,
+        tile_batch=4, **kw)
+    b = render_pallas.core_fwd_jvp(
+        *args, tan_xy, tan_d, binn.tile_start, binn.tile_stop, gt_tiles,
+        interpret=True, **kw)
+
+    for n in ("color", "depth", "weight", "median", "var", "t_final"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a[0], n)), np.asarray(getattr(b[0], n)),
+            rtol=1e-5, atol=1e-6, err_msg=n)
+    np.testing.assert_array_equal(np.asarray(a[0].n_valid),
+                                  np.asarray(b[0].n_valid))
+    for k in range(k_t):
+        for n in ("color", "depth", "weight", "t_final"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a[1], n)[k]),
+                np.asarray(getattr(b[1], n)[k]),
+                rtol=1e-4, atol=1e-5, err_msg=f"tangent {n}[{k}]")
+    for k in range(k_t):
+        assert float(jnp.abs(b[1].median[k]).max()) == 0.0
+
+
+def test_rasterize_pose_jvp_pallas_backend():
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.ops.rasterize import (
+        rasterize_with_pose_jvp,
+    )
+
+    scene, cam = make_scene(p=48, h=24, w=32, seed=13)
+    kw = {k: v for k, v in scene.items()
+          if k not in ("means3D", "bg", "gt_depth")}
+    tw = jax.jacfwd(lambda xi: lie.apply_twist(cam.viewmatrix, xi))(
+        jnp.zeros((6,), jnp.float32))
+    tangents = jnp.moveaxis(tw, -1, 0)
+    a = rasterize_with_pose_jvp(scene["means3D"], cam, CFG, tangents,
+                                gt_depth=scene["gt_depth"], backend="xla",
+                                **kw)
+    b = rasterize_with_pose_jvp(scene["means3D"], cam, CFG, tangents,
+                                gt_depth=scene["gt_depth"],
+                                backend="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(a.out.color),
+                               np.asarray(b.out.color), atol=1e-6)
+    for n in ("color", "depth", "opacity_map"):
+        np.testing.assert_allclose(np.asarray(getattr(a, n)),
+                                   np.asarray(getattr(b, n)),
+                                   rtol=1e-4, atol=1e-5, err_msg=n)
