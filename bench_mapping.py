@@ -58,7 +58,8 @@ def main():
     opt_state = opt.init(model_params(model))
     dstate = DensifyState.zero(model.capacity)
 
-    args = (views, rgbs, depths, cfg, mcfg, H, W, cam.tanfovx, cam.tanfovy, 1)
+    args = (views, rgbs, depths, jnp.ones((1,), jnp.float32), cfg, mcfg,
+            H, W, cam.tanfovx, cam.tanfovy, 1)
     m1, o1, d1, loss0, _ = map_step(model, opt_state, dstate, *args)
     jax.block_until_ready(m1.means3D)
     m2, o2, d2, loss1, _ = map_step(m1, o1, d1, *args)

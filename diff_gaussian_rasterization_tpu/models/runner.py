@@ -40,6 +40,29 @@ class SLAMConfig:
     motion_model: bool = True   # constant-velocity tracking initialization
     pose_graph_refine: bool = False  # refine the keyframe chain at the end
     refine_every: int = 0       # also refine every N keyframes (0 = off)
+    # --- distribution (BASELINE config 5: SLAM sharded over a mesh) ---
+    # A jax.sharding.Mesh enables, per axis name present with size > 1:
+    #   kf_axis:   data-parallel mapping over keyframes (grad psum)
+    #   tile_axis: tile-sharded rendering in tracking and mapping
+    #   map_axis:  Gaussian-map sharding with per-frame frustum
+    #              gather_visible (kf_axis and map_axis are mutually
+    #              exclusive within one mapping step)
+    # and routes keyframe pose-graph refinement through the edge-sharded
+    # collective solver (parallel.sharded.refine_poses_sharded) instead of
+    # the native C++ one.
+    mesh: object = None
+    kf_axis: str = "kf"
+    tile_axis: str = "tile"
+    map_axis: object = None
+    map_budget_per_shard: int = 0   # 0 = capacity / n_map_shards
+
+    def __post_init__(self):
+        if self.mesh is not None and self.map_axis is not None:
+            kf_on = (self.kf_axis in self.mesh.axis_names
+                     and self.mesh.shape[self.kf_axis] > 1)
+            assert not kf_on, (
+                "kf_axis and map_axis sharding cannot combine in one "
+                "mapping step (nested shard_map)")
 
 
 @dataclasses.dataclass
@@ -135,7 +158,7 @@ def init_slam(first_view, first_frame: Frame, cam_t: Camera,
         state.rng, sub = jax.random.split(state.rng)
         state.model, state.opt_state, state.dstate, _ = mapping_round(
             state.model, state.opt_state, state.dstate, kf,
-            scfg.raster, icfg, cam_t, sub)
+            scfg.raster, icfg, cam_t, sub, **_dist_kw(scfg))
     state.raster = scfg.raster
     if scfg.raster.max_instances is None:
         # Size the static instance budget from the bootstrapped map instead
@@ -170,7 +193,10 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
     else:
         view0 = state.est_views[-1]
     view, loss, _ = track_frame(state.model, view0, frame, rcfg,
-                                scfg.tracking, cam_t)
+                                scfg.tracking, cam_t,
+                                mesh=scfg.mesh, tile_axis=scfg.tile_axis,
+                                map_axis=scfg.map_axis,
+                                map_budget=scfg.map_budget_per_shard)
     state.est_views.append(view)
 
     if frame_idx % scfg.keyframe_every == 0:
@@ -196,7 +222,7 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         # periodic pose-graph refinement over the keyframe chain (CG-SLAM
         # runs this alongside mapping; the map itself lives in world frame
         # and adapts through subsequent mapping windows)
-        state = refine_keyframes(state)
+        state = refine_keyframes(state, scfg)
 
     if frame_idx % scfg.map_every == 0 and len(state.kf_views) >= 1:
         # window: always the latest keyframe (anchors the map to the current
@@ -213,7 +239,8 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         state.rng, sub = jax.random.split(state.rng)
         state.model, state.opt_state, state.dstate, mloss = mapping_round(
             state.model, state.opt_state, state.dstate,
-            (kviews, krgbs, kdepths), rcfg, scfg.mapping, cam_t, sub)
+            (kviews, krgbs, kdepths), rcfg, scfg.mapping, cam_t, sub,
+            **_dist_kw(scfg))
     return state, float(loss)
 
 
@@ -237,13 +264,25 @@ def run_slam(dataset, scfg: SLAMConfig, cam_t: Camera,
             print(f"frame {i}: track loss {loss:.4f}, "
                   f"active {int(state.model.num_active)}")
     if scfg.pose_graph_refine and len(state.kf_views) >= 3:
-        state = refine_keyframes(state)
+        state = refine_keyframes(state, scfg)
     return state, gt_views
 
 
-def refine_keyframes(state: SLAMState):
-    """Pose-graph refinement over the keyframe chain (native C++ solver)."""
-    from .. import native
+def _dist_kw(scfg: SLAMConfig) -> dict:
+    """mapping_round distribution kwargs from the SLAM config."""
+    return dict(mesh=scfg.mesh, kf_axis=scfg.kf_axis,
+                tile_axis=scfg.tile_axis, map_axis=scfg.map_axis,
+                map_budget=scfg.map_budget_per_shard)
+
+
+def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None):
+    """Pose-graph refinement over the keyframe chain.
+
+    Single device: the native C++ Gauss-Newton solver (csrc/pose_graph.cpp).
+    With ``scfg.mesh``: the edge-sharded collective solver
+    (parallel.sharded.refine_poses_sharded) — same chordal SE(3) objective,
+    normal equations psum'd over ICI.
+    """
     k = len(state.kf_views)
     views = np.stack([np.asarray(v, np.float64) for v in state.kf_views])
     edges, zs = [], []
@@ -251,7 +290,17 @@ def refine_keyframes(state: SLAMState):
         edges.append((i, i + 1))
         # row-convention relative: Vj @ inv(Vi) == (Xi^-1 Xj)^T
         zs.append(views[i + 1] @ np.linalg.inv(views[i]))
-    refined, _ = native.pose_graph_optimize(views, np.asarray(edges),
-                                            np.stack(zs), iters=5)
+    if scfg is not None and scfg.mesh is not None:
+        from ..parallel.sharded import refine_poses_sharded
+        axis = (scfg.kf_axis if scfg.kf_axis in scfg.mesh.axis_names
+                else scfg.mesh.axis_names[0])
+        refined = refine_poses_sharded(
+            views.astype(np.float32), np.asarray(edges, np.int32),
+            np.stack(zs).astype(np.float32), mesh=scfg.mesh, axis=axis,
+            iters=5)
+    else:
+        from .. import native
+        refined, _ = native.pose_graph_optimize(
+            views, np.asarray(edges), np.stack(zs), iters=5)
     state.kf_views = [jnp.asarray(v) for v in refined]
     return state

@@ -47,6 +47,34 @@ def render_model(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     )
 
 
+def _mesh_kw(mesh, tile_axis):
+    """rasterize() kwargs for tile-sharded rendering, when the mesh has a
+    (non-trivial) tile axis."""
+    if (mesh is not None and tile_axis and tile_axis in mesh.axis_names
+            and mesh.shape[tile_axis] > 1):
+        return dict(mesh=mesh, tile_axis=tile_axis)
+    return {}
+
+
+def _maybe_gather(model, view, mesh, map_axis, map_budget: int):
+    """Gaussian-map sharding: frustum-gather the visible subset of a
+    map-axis-sharded model into a replicated working model (parallel/
+    sharded.gather_visible; markVisible semantics, rasterizer_impl.cu:54-66).
+    Visibility is frozen at ``view``; gradients route back to the owning
+    shards through the all_gather transpose."""
+    if mesh is None or not map_axis:
+        return model
+    from ..parallel.sharded import gather_visible
+
+    budget = map_budget or model.capacity // mesh.shape[map_axis]
+    prm = {k: getattr(model, k) for k in PARAM_FIELDS}
+    prm["active"] = model.active
+    g, valid, _ = gather_visible(prm, view, mesh, map_axis,
+                                 budget_per_shard=budget)
+    return model.replace(**{k: g[k] for k in PARAM_FIELDS},
+                         active=g["active"] & valid)
+
+
 def rgbd_loss(out, frame: Frame, w_color: float = 1.0, w_depth: float = 0.5,
               sil_threshold: float = 0.99, tracking: bool = False):
     """L1 color + masked L1 depth.
@@ -105,18 +133,23 @@ class TrackingConfig:
     sil_threshold: float = 0.99
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "height", "width",
-                                             "tanfovx", "tanfovy"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "tcfg", "height", "width", "tanfovx", "tanfovy",
+    "mesh", "tile_axis", "map_axis", "map_budget"))
 def _track_jit(model, view0, rgb, depth, cfg: RasterConfig,
-               tcfg: TrackingConfig, height, width, tanfovx, tanfovy):
+               tcfg: TrackingConfig, height, width, tanfovx, tanfovy,
+               mesh=None, tile_axis="tile", map_axis=None, map_budget=0):
     frame = Frame(rgb, depth)
+    model = _maybe_gather(model, view0, mesh, map_axis, map_budget)
+    mk = _mesh_kw(mesh, tile_axis)
     opt = optax.adam(tcfg.lr)
 
     def loss_fn(xi):
         view = lie.apply_twist(view0, xi)
         cam = Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
                      height=height, width=width)
-        out = render_model(model, cam, cfg, gt_depth=depth, map_off=True)
+        out = render_model(model, cam, cfg, gt_depth=depth, map_off=True,
+                           **mk)
         return rgbd_loss(out, frame, tcfg.w_color, tcfg.w_depth,
                          tcfg.sil_threshold, tracking=True)
 
@@ -141,10 +174,12 @@ def _track_jit(model, view0, rgb, depth, cfg: RasterConfig,
     return lie.apply_twist(view0, best_xi), best_loss, losses
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "height", "width",
-                                             "tanfovx", "tanfovy"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "tcfg", "height", "width", "tanfovx", "tanfovy",
+    "mesh", "tile_axis", "map_axis", "map_budget"))
 def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
-                  tcfg: TrackingConfig, height, width, tanfovx, tanfovy):
+                  tcfg: TrackingConfig, height, width, tanfovx, tanfovy,
+                  mesh=None, tile_axis="tile", map_axis=None, map_budget=0):
     """Exact Gauss-Newton / Levenberg-Marquardt pose tracking.
 
     The 6-DoF pose is a textbook small-parameter least-squares problem; a
@@ -159,6 +194,8 @@ def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
     from ..ops.rasterize import rasterize_with_pose_jvp
 
     frame = Frame(rgb, depth)
+    model = _maybe_gather(model, view0, mesh, map_axis, map_budget)
+    mk = _mesh_kw(mesh, tile_axis)
     sqc = jnp.sqrt(tcfg.w_color)
     sqd = jnp.sqrt(tcfg.w_depth)
     kwm = model.raster_kwargs()
@@ -180,7 +217,8 @@ def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
 
     def residuals(xi):
         out = render_model(model, cam_of(lie.apply_twist(view0, xi)), cfg,
-                           gt_depth=depth, map_off=True, track_off=True)
+                           gt_depth=depth, map_off=True, track_off=True,
+                           **mk)
         return res_of(out, mask_of(out))
 
     def res_jac(xi):
@@ -189,7 +227,7 @@ def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
         tw = jax.jacfwd(lambda x: lie.apply_twist(view0, x))(xi)  # [4,4,6]
         j = rasterize_with_pose_jvp(
             model.means3D, cam_of(view), cfg, jnp.moveaxis(tw, -1, 0),
-            gt_depth=depth, **kwm)
+            gt_depth=depth, **kwm, **mk)
         out = j.out
         m = mask_of(out)
         r = res_of(out, m)
@@ -241,10 +279,13 @@ def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
     return lie.apply_twist(view0, best_xi), best_cost, costs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "height", "width",
-                                             "tanfovx", "tanfovy"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "tcfg", "height", "width", "tanfovx", "tanfovy",
+    "mesh", "tile_axis", "map_axis", "map_budget"))
 def _track_gn_fd_jit(model, view0, rgb, depth, cfg: RasterConfig,
-                     tcfg: TrackingConfig, height, width, tanfovx, tanfovy):
+                     tcfg: TrackingConfig, height, width, tanfovx, tanfovy,
+                     mesh=None, tile_axis="tile", map_axis=None,
+                     map_budget=0):
     """Gauss-Newton / LM tracking with finite-difference twist Jacobians.
 
     Same damped normal-equations solve as ``_track_gn_jit`` but the
@@ -256,6 +297,8 @@ def _track_gn_fd_jit(model, view0, rgb, depth, cfg: RasterConfig,
     iteration's base pose so every column differentiates the same residual.
     """
     frame = Frame(rgb, depth)
+    model = _maybe_gather(model, view0, mesh, map_axis, map_budget)
+    mk = _mesh_kw(mesh, tile_axis)
     sqc = jnp.sqrt(tcfg.w_color)
     sqd = jnp.sqrt(tcfg.w_depth)
     eps = jnp.asarray(tcfg.fd_eps, view0.dtype)
@@ -265,7 +308,7 @@ def _track_gn_fd_jit(model, view0, rgb, depth, cfg: RasterConfig,
         cam = Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
                      height=height, width=width)
         return render_model(model, cam, cfg, gt_depth=depth, map_off=True,
-                            track_off=True)
+                            track_off=True, **mk)
 
     def res_with_mask(out, m):
         sil = out.opacity_map[0]
@@ -328,14 +371,21 @@ def _track_gn_fd_jit(model, view0, rgb, depth, cfg: RasterConfig,
 
 def track_frame(model: GaussianModel, view0, frame: Frame,
                 cfg: RasterConfig, tcfg: TrackingConfig,
-                camera_template: Camera):
-    """Pose-only optimization for one frame (reference §3.3 tracking step)."""
+                camera_template: Camera, mesh=None, tile_axis="tile",
+                map_axis=None, map_budget: int = 0):
+    """Pose-only optimization for one frame (reference §3.3 tracking step).
+
+    With a ``mesh``: renders tile-shard over ``tile_axis`` (if present with
+    size > 1) and, when ``map_axis`` is set, frustum-gathers the visible
+    subset of a map-sharded model first (visibility frozen at ``view0``)."""
     impl = {"gn": _track_gn_jit, "gn_fd": _track_gn_fd_jit}.get(
         tcfg.method, _track_jit)
     return impl(
         model, view0, frame.rgb, frame.depth, cfg, tcfg,
         camera_template.height, camera_template.width,
         camera_template.tanfovx, camera_template.tanfovy,
+        mesh=mesh, tile_axis=tile_axis, map_axis=map_axis,
+        map_budget=map_budget,
     )
 
 
@@ -376,63 +426,152 @@ def make_map_optimizer(mcfg: MappingConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "height", "width",
-                                             "tanfovx", "tanfovy", "n_frames"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "mcfg", "height", "width", "tanfovx", "tanfovy", "n_frames",
+    "mesh", "kf_axis", "tile_axis", "map_axis", "map_budget"))
 def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
-             views, rgbs, depths, cfg: RasterConfig, mcfg: MappingConfig,
-             height, width, tanfovx, tanfovy, n_frames: int):
+             views, rgbs, depths, wts, cfg: RasterConfig,
+             mcfg: MappingConfig, height, width, tanfovx, tanfovy,
+             n_frames: int, mesh=None, kf_axis="kf", tile_axis="tile",
+             map_axis=None, map_budget=0):
     """One mapping gradient step over a window of keyframes
-    (reference §3.4 mapping step; multi-frame sum like CG-SLAM's mapper)."""
+    (reference §3.4 mapping step; multi-frame sum like CG-SLAM's mapper).
+
+    ``wts`` [K] weights each keyframe (0 = padding); the loss normalizes by
+    their sum, so padding a window never changes the objective.
+
+    Distribution (all optional, driven by ``mesh``):
+    - keyframe data parallelism over ``kf_axis`` (north-star layout:
+      keyframe partitioning + per-Gaussian gradient psum over ICI);
+    - tile-sharded rendering over ``tile_axis``;
+    - Gaussian-map sharding over ``map_axis`` via frustum gather_visible
+      (gradients reduce-scatter back to the owning shards through the
+      all_gather transpose).  kf- and map-sharding are mutually exclusive
+      in one step (they would need nested shard_maps); the runner asserts
+      this.
+    """
     opt = make_map_optimizer(mcfg)
-
-    def loss_fn(params, means2d):
-        m = model.replace(**params)
-        total = 0.0
-        out = None
-        for i in range(n_frames):
-            cam = Camera(viewmatrix=views[i], tanfovx=tanfovx,
-                         tanfovy=tanfovy, height=height, width=width)
-            out = render_model(m, cam, cfg, gt_depth=depths[i],
-                               means2D=means2d, track_off=True)
-            total = total + rgbd_loss(
-                out, Frame(rgbs[i], depths[i]), mcfg.w_color, mcfg.w_depth)
-        return total / n_frames, out
-
     params = model_params(model)
     zeros2d = jnp.zeros_like(model.means3D[:, :2])
-    (loss, out), (grads, g2d) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
+    kf_sharded = (mesh is not None and kf_axis in (mesh.axis_names or ())
+                  and mesh.shape[kf_axis] > 1)
+    mk = _mesh_kw(mesh, tile_axis)
+
+    def cam_of(view):
+        return Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
+                      height=height, width=width)
+
+    if kf_sharded:
+        from ..parallel.sharded import sharded_value_and_grad
+
+        def loss_one(p, view, rgb, depth, wt):
+            m = model.replace(**{k: p[k] for k in PARAM_FIELDS})
+            # no tile sharding here: the render already runs inside the
+            # keyframe shard_map (nesting would need manual-axes plumbing);
+            # with a kf x tile mesh each device renders its keyframes whole
+            out = render_model(m, cam_of(view), cfg, gt_depth=depth,
+                               means2D=p["__means2d"], track_off=True)
+            l = wt * rgbd_loss(out, Frame(rgb, depth), mcfg.w_color,
+                               mcfg.w_depth)
+            aux = ((out.radii > 0).astype(jnp.int32),
+                   out.gau_uncertainty, out.gau_related_pixels)
+            return l, aux
+
+        vag = sharded_value_and_grad(loss_one, mesh, kf_axis, has_aux=True,
+                                     n_extra=1, weighted=True)
+        loss, grads, (vis, gau_u, gau_np) = vag(
+            {**params, "__means2d": zeros2d}, views, rgbs, depths, wts)
+        g2d = grads.pop("__means2d")
+        visible = vis > 0
+    else:
+        def loss_fn(params, means2d):
+            total = 0.0
+            out = None
+            for i in range(n_frames):
+                m = model.replace(**params)
+                if map_axis is not None:
+                    prm = {**params, "__means2d": means2d,
+                           "active": model.active}
+                    from ..parallel.sharded import gather_visible
+                    budget = map_budget or model.capacity // mesh.shape[
+                        map_axis]
+                    g, valid, _ = gather_visible(
+                        prm, views[i], mesh, map_axis,
+                        budget_per_shard=budget)
+                    m = model.replace(
+                        **{k: g[k] for k in PARAM_FIELDS},
+                        active=g["active"] & valid)
+                    m2d = g["__means2d"]
+                else:
+                    m2d = means2d
+                out = render_model(m, cam_of(views[i]), cfg,
+                                   gt_depth=depths[i], means2D=m2d,
+                                   track_off=True, **mk)
+                total = total + wts[i] * rgbd_loss(
+                    out, Frame(rgbs[i], depths[i]), mcfg.w_color,
+                    mcfg.w_depth)
+            return total / jnp.maximum(jnp.sum(wts), 1e-9), out
+
+        (loss, out), (grads, g2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
+        if map_axis is not None:
+            # radii refer to the gathered working set, not global slots;
+            # "received screen gradient" is the global visibility proxy
+            visible = jnp.abs(g2d).sum(-1) > 0
+            gau_u = gau_np = None
+        else:
+            visible = out.radii > 0
+            gau_u, gau_np = out.gau_uncertainty, out.gau_related_pixels
+
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     model = model.replace(**params)
     # densification statistics: NDC-units screen gradient, the analogue of
     # the reference's grad_means2D output (backward.cu:668-670)
-    dstate = dstate.update(g2d, visible=out.radii > 0)
-    return model, opt_state, dstate, loss, out
+    dstate = dstate.update(g2d, visible=visible)
+    return model, opt_state, dstate, loss, (gau_u, gau_np)
 
 
 def mapping_round(model, opt_state, dstate, keyframes, cfg, mcfg, cam_t,
-                  rng, densify_every: int = 0):
+                  rng, densify_every: int = 0, mesh=None, kf_axis="kf",
+                  tile_axis="tile", map_axis=None, map_budget: int = 0):
     """Run mcfg.iters map steps over the keyframe window; optionally densify.
 
     keyframes: (views [K,4,4], rgbs [K,3,H,W], depths [K,H,W]).
-    Python-level loop (streaming SLAM); each step is jitted.
+    Python-level loop (streaming SLAM); each step is jitted.  With a mesh
+    whose ``kf_axis`` is non-trivial, the window is padded (weight 0) to a
+    multiple of the axis size and keyframes run data-parallel.
     """
     views, rgbs, depths = keyframes
     n = views.shape[0]
-    loss = out = None
+    wts = jnp.ones((n,), jnp.float32)
+    kf_sharded = (mesh is not None and kf_axis in (mesh.axis_names or ())
+                  and mesh.shape[kf_axis] > 1)
+    if kf_sharded:
+        assert map_axis is None, (
+            "kf- and map-sharding cannot combine in one mapping step")
+        nd = mesh.shape[kf_axis]
+        pad = (-n) % nd
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a] + [a[-1:]] * pad, axis=0)
+            views, rgbs, depths = rep(views), rep(rgbs), rep(depths)
+            wts = jnp.concatenate([wts, jnp.zeros((pad,), jnp.float32)])
+            n = n + pad
+    loss = stats = None
     for it in range(mcfg.iters):
-        model, opt_state, dstate, loss, out = map_step(
-            model, opt_state, dstate, views, rgbs, depths, cfg, mcfg,
+        model, opt_state, dstate, loss, stats = map_step(
+            model, opt_state, dstate, views, rgbs, depths, wts, cfg, mcfg,
             cam_t.height, cam_t.width, cam_t.tanfovx, cam_t.tanfovy, n,
+            mesh=mesh, kf_axis=kf_axis, tile_axis=tile_axis,
+            map_axis=map_axis, map_budget=map_budget,
         )
         if densify_every and (it + 1) % densify_every == 0:
             model, dstate, _ = densify_and_prune(
                 model, dstate,
                 grad_threshold=mcfg.densify_grad_threshold, rng=rng)
-    if mcfg.uncertainty_prune > 0:
+    if mcfg.uncertainty_prune > 0 and stats[0] is not None:
         from .gaussians import prune_by_uncertainty
         model = prune_by_uncertainty(
-            model, out.gau_uncertainty, out.gau_related_pixels,
-            mcfg.uncertainty_prune)
+            model, stats[0], stats[1], mcfg.uncertainty_prune)
     return model, opt_state, dstate, loss

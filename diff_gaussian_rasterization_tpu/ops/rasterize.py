@@ -374,6 +374,8 @@ def rasterize_with_pose_jvp(
     max_instances=None,
     tile_batch: int = 64,
     backend=None,
+    mesh=None,
+    tile_axis: str = "tile",
 ) -> PoseJvpOutputs:
     """Render plus K exact pose-tangent images in ONE pass.
 
@@ -452,12 +454,18 @@ def rasterize_with_pose_jvp(
               height=h, width=w, tile_batch=tile_batch)
     if backend == "pallas":
         from .kernels import render_pallas
-        out, tano = render_pallas.core_fwd_jvp(
+        jvp_impl = render_pallas.core_fwd_jvp
+    else:
+        jvp_impl = tile_xla.core_fwd_jvp_xla
+    if mesh is not None:
+        from ..parallel.sharded import make_sharded_jvp_core
+        call = make_sharded_jvp_core(mesh, tile_axis, jvp_impl, **kw)
+        out, tano = call(
             inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
             inst_depth_med, tan_xy, tan_depth,
-            binn.tile_start, binn.tile_stop, gt_tiles, **kw)
+            binn.tile_start, binn.tile_stop, gt_tiles)
     else:
-        out, tano = tile_xla.core_fwd_jvp_xla(
+        out, tano = jvp_impl(
             inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
             inst_depth_med, tan_xy, tan_depth,
             binn.tile_start, binn.tile_stop, gt_tiles, **kw)

@@ -31,11 +31,29 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RasterConfig
 from ..ops.tile_xla import CoreOutputs
 from .mesh import shard_map_fn
+
+
+def _pin(mesh: Mesh, spec, x):
+    """Constrain ``x`` (a pytree) to the sharding its shard_map in_spec
+    expects.
+
+    Operands computed inside an enclosing ``jit`` otherwise arrive with
+    XLA-auto-chosen shardings, and the check-free (``check_vma=False``)
+    shard_map path has been observed to consume them WITHOUT resharding —
+    each device reads its local shard as if it were the spec'd layout,
+    yielding silently wrong results (zeros / overcounts; reproduced on the
+    8-device CPU mesh: jit(render) != eager(render)).  Pinning the
+    producer's output sharding to the consumer's expectation removes the
+    mismatch.  No-op for data already laid out correctly.
+    """
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(
+        lambda v: jax.lax.with_sharding_constraint(v, sh), x)
 
 
 def _pad_tiles_to(mesh_size: int, *arrs):
@@ -82,7 +100,12 @@ def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
             in_specs=(rep,) * 6 + (shard, shard, shard, shard),
             out_specs=out_specs, check_rep=False,
         )
-        out = f(xy, conic, opac, color, depth, depth_med, ts, tp, gt, tidx)
+        # ALL operands pinned replicated: pinning the tile arrays to
+        # their (sharded) in_spec layout does NOT avoid the bug — only a
+        # replicated materialization, which shard_map then slices, does
+        rp = lambda *xs: [_pin(mesh, rep, x) for x in xs]
+        out = f(*rp(xy, conic, opac, color, depth, depth_med),
+                *rp(ts, tp, gt, tidx))
         trim = lambda x: x[:t]
         return CoreOutputs(*(trim(getattr(out, f_)) for f_ in
                              CoreOutputs._fields[:9]),
@@ -111,7 +134,10 @@ def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
             in_specs=(rep,) * 5 + (shard,) * 14 + (shard,),
             out_specs=(rep,) * 7, check_rep=False,
         )
-        return f(xy, conic, opac, color, depth, *padded, tidx)
+        return f(*[_pin(mesh, rep, x) for x in
+                   (xy, conic, opac, color, depth)],
+                 *[_pin(mesh, rep, x) for x in padded],
+                 _pin(mesh, rep, tidx))
 
     return fwd, bwd
 
@@ -159,44 +185,131 @@ def gather_visible(params: dict, viewmatrix, mesh: Mesh, axis: str = "map",
         out_specs=(P(), P(), P()),
         check_rep=False,
     )
-    return f(params, viewmatrix)
+    return f(_pin(mesh, P(axis), params), _pin(mesh, P(), viewmatrix))
 
 
 def sharded_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
-                           axis: str = "kf"):
+                           axis: str = "kf", has_aux: bool = False,
+                           n_extra: int = 0, weighted: bool = False):
     """Data-parallel value_and_grad over a sharded keyframe batch.
 
-    ``loss_one_frame(params, view, rgb, depth) -> scalar``.  Returns
-    ``f(params, views, rgbs, depths) -> (mean loss, grads)`` with keyframes
-    sharded over ``axis`` and gradients psum'd over ICI.
+    ``loss_one_frame(params, view, rgb, depth, *extra) -> scalar`` (or
+    ``(scalar, aux)`` with ``has_aux``; aux is summed over frames and
+    psum'd — use it for additive per-Gaussian statistics).  Returns
+    ``f(params, views, rgbs, depths, *extra) -> (mean loss, grads[, aux])``
+    with keyframes (and the ``n_extra`` trailing per-frame arrays) sharded
+    over ``axis`` and gradients psum'd over ICI.
+
+    ``weighted=True`` treats ``extra[0]`` as per-frame weights and
+    normalizes by their global sum instead of the frame count — the way to
+    pad a keyframe window to a multiple of the mesh axis (weight 0) without
+    changing the objective.
     """
-    def local(params, views, rgbs, depths):
+    def local(params, views, rgbs, depths, *extra):
         k = views.shape[0]
         # Mark the replicated parameters device-varying before
         # differentiating: shard_map's transpose auto-psums the cotangent of
         # an *unvarying* input, which would double-count with the explicit
         # psum below (observed: grads exactly n_devices too large).
-        params = jax.tree.map(lambda x: jax.lax.pvary(x, axis), params)
+        if hasattr(jax.lax, "pcast"):
+            mark = lambda x: jax.lax.pcast(x, axis, to="varying")
+        else:  # older JAX
+            mark = lambda x: jax.lax.pvary(x, axis)
+        params = jax.tree.map(mark, params)
 
         def batch_loss(p):
             total = 0.0
+            auxes = None
             for i in range(k):  # local keyframes; k is static per shard
-                total = total + loss_one_frame(p, views[i], rgbs[i],
-                                               depths[i])
-            return total
+                out = loss_one_frame(p, views[i], rgbs[i], depths[i],
+                                     *(e[i] for e in extra))
+                if has_aux:
+                    l_i, a_i = out
+                    auxes = a_i if auxes is None else jax.tree.map(
+                        jnp.add, auxes, a_i)
+                else:
+                    l_i = out
+                total = total + l_i
+            return total, auxes
 
-        loss, grads = jax.value_and_grad(batch_loss)(params)
-        n_total = k * jax.lax.psum(1, axis)
-        loss = jax.lax.psum(loss, axis) / n_total
+        (loss, aux), grads = jax.value_and_grad(
+            batch_loss, has_aux=True)(params)
+        if weighted:
+            denom = jnp.maximum(jax.lax.psum(jnp.sum(extra[0]), axis), 1e-9)
+        else:
+            denom = jnp.asarray(k * jax.lax.psum(1, axis), loss.dtype)
+        loss = jax.lax.psum(loss, axis) / denom
         grads = jax.tree.map(
-            lambda g: jax.lax.psum(g, axis) / n_total, grads)
+            lambda g: jax.lax.psum(g, axis) / denom, grads)
+        if has_aux:
+            aux = jax.tree.map(lambda a: jax.lax.psum(a, axis), aux)
+            return loss, grads, aux
         return loss, grads
 
-    return shard_map_fn(
+    out_specs = (P(), P(), P()) if has_aux else (P(), P())
+    f = shard_map_fn(
         local, mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        in_specs=(P(),) + (P(axis),) * (3 + n_extra),
+        out_specs=out_specs,
     )
+
+    def pinned(params, *batched):
+        return f(_pin(mesh, P(), params),
+                 *[_pin(mesh, P(axis), b) for b in batched])
+
+    return pinned
+
+
+def make_sharded_jvp_core(mesh: Mesh, axis: str, jvp_impl, *,
+                          tiles_x: int, cfg: RasterConfig, **kw):
+    """Tile-axis sharding for the dual-forward (pose-jvp) core.
+
+    Same data split as :func:`make_sharded_core`'s forward — instances and
+    tangent rows replicated, tile-major arrays sharded, per-instance stats
+    psum'd; the K tangent image streams come back tile-sharded like the
+    primal streams.
+    """
+    from ..ops.tile_xla import PoseTangents
+
+    n = mesh.shape[axis]
+    rep = P()
+    shard = P(axis)
+
+    def fwd(xy, conic, opac, color, depth, depth_med, tan_xy, tan_depth,
+            tile_start, tile_stop, gt_tiles):
+        t, (ts, tp, gt) = _pad_tiles_to(n, tile_start, tile_stop, gt_tiles)
+        tidx = jnp.pad(jnp.arange(t, dtype=jnp.int32), (0, ts.shape[0] - t))
+
+        def local(xy, conic, opac, color, depth, depth_med, txy, td,
+                  ts, tp, gt, ti):
+            out, tans = jvp_impl(xy, conic, opac, color, depth, depth_med,
+                                 txy, td, ts, tp, gt, cfg=cfg,
+                                 tiles_x=tiles_x, tile_index=ti, **kw)
+            out = out._replace(
+                u_inst=jax.lax.psum(out.u_inst, axis),
+                npix_inst=jax.lax.psum(out.npix_inst, axis),
+            )
+            return out, tans
+
+        out_specs = (CoreOutputs(*([shard] * 9 + [rep, rep])),
+                     PoseTangents(shard, shard, shard, shard, shard))
+        f = shard_map_fn(
+            local, mesh,
+            in_specs=(rep,) * 8 + (shard, shard, shard, shard),
+            out_specs=out_specs, check_rep=False,
+        )
+        out, tans = f(*[_pin(mesh, rep, x) for x in
+                        (xy, conic, opac, color, depth, depth_med,
+                         tan_xy, tan_depth, ts, tp, gt, tidx)])
+        trim = lambda x: x[:t]
+        out = CoreOutputs(*(trim(getattr(out, f_)) for f_ in
+                            CoreOutputs._fields[:9]),
+                          out.u_inst, out.npix_inst)
+        tans = PoseTangents(*(tuple(trim(x) for x in getattr(tans, f_))
+                              for f_ in PoseTangents._fields))
+        return out, tans
+
+    return fwd
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +402,8 @@ def refine_poses_sharded(views, edges, zs, mesh: Mesh = None,
                 local, mesh,
                 in_specs=(P(), P(axis), P(axis), P(axis)),
                 out_specs=(P(), P()),
-            )(vw, edges, zs, weights)
+            )(_pin(mesh, P(), vw), _pin(mesh, P(axis), edges),
+              _pin(mesh, P(axis), zs), _pin(mesh, P(axis), weights))
         # gauge fix + LM damping
         diag = jnp.arange(6)
         h = h.at[diag, diag].add(prior)

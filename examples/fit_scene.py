@@ -84,10 +84,11 @@ def main():
     kdepths = jnp.stack([f.depth for f in train_f])
     key = jax.random.PRNGKey(0)
 
+    wts = jnp.ones((len(train_v),), jnp.float32)
     for it in range(args.iters):
-        model, opt_state, dstate, loss, out = map_step(
-            model, opt_state, dstate, kviews, krgbs, kdepths, cfg, mcfg,
-            h, w, cam_t.tanfovx, cam_t.tanfovy, len(train_v))
+        model, opt_state, dstate, loss, _ = map_step(
+            model, opt_state, dstate, kviews, krgbs, kdepths, wts, cfg,
+            mcfg, h, w, cam_t.tanfovx, cam_t.tanfovy, len(train_v))
         if args.densify_every and (it + 1) % args.densify_every == 0 \
                 and it + 1 < args.iters:
             key, sub = jax.random.split(key)
@@ -95,7 +96,9 @@ def main():
                 model, dstate, grad_threshold=mcfg.densify_grad_threshold,
                 rng=sub)
         if (it + 1) % 50 == 0 or it == 0:
-            tr = psnr(out.color, krgbs[-1])
+            cam_last = Camera(viewmatrix=kviews[-1], tanfovx=cam_t.tanfovx,
+                              tanfovy=cam_t.tanfovy, height=h, width=w)
+            tr = psnr(render_model(model, cam_last, cfg).color, krgbs[-1])
             print(f"iter {it + 1:4d}  loss {float(loss):.4f}  "
                   f"train-view PSNR {tr:5.2f} dB  "
                   f"active {int(model.num_active)}")

@@ -79,3 +79,50 @@ def test_pose_graph_refine_runs():
     state, _ = run_slam(data, scfg, CAM_T)
     for v in state.kf_views:
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_run_slam_mesh_matches_single_device():
+    """Full SLAM on an 8-device virtual mesh (keyframe-sharded mapping x
+    tile-sharded rendering + collective pose-graph refinement) must
+    reproduce the single-device trajectory within collective-summation
+    tolerance (VERDICT r1 item 5 / BASELINE config 5)."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=768, n=768, seed=0)
+    views = orbit_trajectory(7)
+    frames = render_sequence(gt_model, views, CAM_T, cfg)
+
+    def run(mesh):
+        scfg = SLAMConfig(
+            raster=cfg,
+            tracking=TrackingConfig(iters=6, sil_threshold=0.5),
+            mapping=MappingConfig(iters=8),
+            capacity=4096,
+            keyframe_every=2,
+            map_every=2,
+            window=2,
+            seed_every_px=2,
+            init_iters=20,
+            motion_model=False,
+            pose_graph_refine=True,
+            mesh=mesh,
+        )
+        data = list(zip([np.asarray(v) for v in views], frames))
+        state, gt_views = run_slam(data, scfg, CAM_T)
+        return state, gt_views
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("kf", "tile"))
+    s1, gt_views = run(None)
+    s2, _ = run(mesh)
+
+    assert len(s1.est_views) == len(s2.est_views)
+    for i, (a, b) in enumerate(zip(s1.est_views, s2.est_views)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3,
+            err_msg=f"frame {i} pose diverged between mesh and single")
+    ate1 = ate_rmse(s1.est_views, [jnp.asarray(v) for v in gt_views])
+    ate2 = ate_rmse(s2.est_views, [jnp.asarray(v) for v in gt_views])
+    assert abs(ate1 - ate2) < 2e-3, (ate1, ate2)

@@ -104,8 +104,9 @@ def test_mapping_improves_model():
     model = bad
     losses = []
     for _ in range(25):
-        model, opt_state, dstate, loss, out = map_step(
-            model, opt_state, dstate, kviews, krgbs, kdepths, CFG, mcfg,
+        model, opt_state, dstate, loss, _ = map_step(
+            model, opt_state, dstate, kviews, krgbs, kdepths,
+            jnp.ones((2,), jnp.float32), CFG, mcfg,
             H, W, CAM_T.tanfovx, CAM_T.tanfovy, 2)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.6, losses[:3] + losses[-3:]
