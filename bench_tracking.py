@@ -63,12 +63,14 @@ def main():
     cfg = RasterConfig(tile_h=32, tile_w=32)
     cam = Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32), tanfovx=0.82,
                  tanfovy=0.47, height=H, width=W)
-    # gn_fd: Gauss-Newton/LM with central-difference twist Jacobians — 13
-    # Pallas forward renders per iteration, converging in a handful of
-    # iterations where first-order tracking needs dozens.  (Exact fwd-mode
-    # GN runs through the dense XLA backend at ~30 s/frame and serves
-    # keyframe refinement; "adam" is the first-order Pallas VJP path.)
-    tcfg = TrackingConfig(method="gn_fd", iters=6)
+    # gn: exact Gauss-Newton/LM — the (Npix x 6) twist Jacobian comes from
+    # ONE dual render per iteration (rasterize_with_pose_jvp's Pallas
+    # _jvp_kernel: forward + all 6 exact tangents, ~3x one render) plus one
+    # accept-check render.  Override with DGR_TRACK_METHOD=gn_fd (13
+    # central-difference renders/iter) or adam (first-order VJP path).
+    import os
+    tcfg = TrackingConfig(method=os.environ.get("DGR_TRACK_METHOD", "gn"),
+                          iters=6)
 
     # ground-truth frame rendered at identity; initial guess = small twist.
     # The probe also sizes the static instance budget (see bench_mapping).

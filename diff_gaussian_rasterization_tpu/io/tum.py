@@ -69,6 +69,10 @@ class TUMDataset:
     width: int = 640
     stride: int = 1
     max_dt: float = 0.02
+    fx: float = None  # override the freiburg defaults (e.g. test fixtures)
+    fy: float = None
+    cx: float = None
+    cy: float = None
 
     def __post_init__(self):
         rgb = _read_list(os.path.join(self.root, "rgb.txt"))
@@ -91,8 +95,10 @@ class TUMDataset:
             ))
         self.items = self.items[:: self.stride]
         intr = TUM_INTRINSICS[self.freiburg]
-        self.fx, self.fy = intr["fx"], intr["fy"]
-        self.cx, self.cy = intr["cx"], intr["cy"]
+        self.fx = self.fx if self.fx is not None else intr["fx"]
+        self.fy = self.fy if self.fy is not None else intr["fy"]
+        self.cx = self.cx if self.cx is not None else intr["cx"]
+        self.cy = self.cy if self.cy is not None else intr["cy"]
 
     def __len__(self):
         return len(self.items)

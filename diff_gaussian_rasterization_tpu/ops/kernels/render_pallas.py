@@ -421,7 +421,10 @@ def _jvp_kernel(
                 tsems.at[jax.lax.rem(k, 2)],
             )
 
-        @pl.when(n_blocks > 0)
+        # block 0 of tile t > 0 was prefetched while finishing the previous
+        # tile (cross-tile pipeline below, same as _fwd_kernel); only the
+        # very first tile fetches its own
+        @pl.when((t == 0) & (n_blocks > 0))
         def _():
             read_dma(0).start()
             read_tan_dma(0).start()
@@ -484,6 +487,26 @@ def _jvp_kernel(
         def _():
             read_dma(kf).wait()
             read_tan_dma(kf).wait()
+
+        # cross-tile pipeline: issue the next tile's block 0 (both streams)
+        # now so it overlaps this tile's output stores and the next tile's
+        # prologue; slot 0 is free (every in-tile DMA was waited above) and
+        # block 0 is always consumed, keeping the semaphores balanced
+        nt = jnp.minimum(t + 1, n_tiles - 1)
+        n_start = start_ref[nt]
+
+        @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
+        def _(n_start=n_start):
+            pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
+                data_scr.at[pl.ds(0, 1)],
+                sems.at[0],
+            ).start()
+            pltpu.make_async_copy(
+                tan_hbm.at[pl.ds(n_start // BLOCK, 1)],
+                tan_scr.at[pl.ds(0, 1)],
+                tsems.at[0],
+            ).start()
 
         pc = carry.primal
         out_ref[j, 0:3] = pc.color

@@ -32,18 +32,39 @@ P = 100_000
 INNER = 8
 
 
-def make_scene(seed=0):
+def make_scene(seed=0, kind=None):
+    """``kind``: "uniform" (default) or "room" (DGR_SCENE env) — the room
+    variant is a Replica-like occlusion-heavy layout (box walls + interior
+    clutter, camera inside) for A/B-ing early-termination optimizations
+    that a uniform cloud cannot reward."""
+    import os
+
+    kind = kind or os.environ.get("DGR_SCENE", "uniform")
     rng = np.random.RandomState(seed)
-    means = rng.uniform(-2, 2, (P, 3))
-    means[:, 2] = rng.uniform(0.8, 6.0, P)
+    if kind == "room":
+        n_wall = int(P * 0.75)
+        walls = rng.uniform(-3, 3, (n_wall, 3))
+        face = rng.randint(0, 6, n_wall)
+        axis, sign = face // 2, (face % 2) * 2 - 1
+        walls[np.arange(n_wall), axis] = sign * 3.0
+        clutter = rng.uniform(-2.4, 2.4, (P - n_wall, 3))
+        means = np.concatenate([walls, clutter])
+        # camera at the origin looking +z: walls 3-6 m, clutter in front
+        means = means + np.asarray([0.0, 0.0, 3.2])
+        scales = np.exp(rng.uniform(np.log(0.03), np.log(0.12), (P, 3)))
+        opac = rng.uniform(0.5, 0.99, (P, 1))
+    else:
+        means = rng.uniform(-2, 2, (P, 3))
+        means[:, 2] = rng.uniform(0.8, 6.0, P)
+        scales = np.exp(rng.uniform(np.log(0.01), np.log(0.05), (P, 3)))
+        opac = rng.uniform(0.2, 0.95, (P, 1))
     quats = rng.normal(size=(P, 4))
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     return dict(
         means3D=jnp.asarray(means, jnp.float32),
-        scales=jnp.asarray(np.exp(rng.uniform(np.log(0.01), np.log(0.05),
-                                              (P, 3))), jnp.float32),
+        scales=jnp.asarray(scales, jnp.float32),
         rotations=jnp.asarray(quats, jnp.float32),
-        opacities=jnp.asarray(rng.uniform(0.2, 0.95, (P, 1)), jnp.float32),
+        opacities=jnp.asarray(opac, jnp.float32),
         colors_precomp=jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32),
         bg=jnp.zeros(3, jnp.float32),
         gt_depth=jnp.asarray(rng.uniform(0.8, 6, (H, W)), jnp.float32),

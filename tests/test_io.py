@@ -149,3 +149,31 @@ def test_replica_fixture_slam():
     static = ate_rmse([gt_views[0]] * len(gt_views),
                       [jnp.asarray(v) for v in gt_views])
     assert ate < 0.65 * static, (ate, static)
+
+
+def test_tum_fixture_reader():
+    """Checked-in mini TUM-format fixture: timestamped lists, 16-bit depth,
+    quaternion groundtruth, nearest-timestamp association (incl. dropping
+    an out-of-window depth entry)."""
+    from diff_gaussian_rasterization_tpu.io.tum import TUMDataset
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures", "tum_mini")
+    ds = TUMDataset(root, height=60, width=80, fx=57.0, fy=54.0,
+                    cx=39.5, cy=29.5)
+    assert len(ds) == 5  # the unmatched depth entry must not create a pair
+    pose, frame = next(iter(ds))
+    np.testing.assert_allclose(pose[:, 3], [0, 0, 0, 1], atol=1e-5)
+    r = pose[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+    assert frame.rgb.shape == (3, 60, 80)
+    assert frame.depth.shape == (60, 80)
+    d = np.asarray(frame.depth)
+    assert d.max() < 10.0 and (d[d > 0] > 0.2).all()
+
+    # poses must agree with the Replica fixture's (same synthetic
+    # trajectory, independent on-disk encodings)
+    from diff_gaussian_rasterization_tpu.io.replica import ReplicaDataset
+    rds = ReplicaDataset(os.path.join(os.path.dirname(__file__),
+                                      "fixtures", "replica_mini", "office0"))
+    for i in range(5):
+        np.testing.assert_allclose(ds.pose(i), rds.pose(i), atol=2e-5)
