@@ -74,8 +74,44 @@ def make_scene(seed=0):
     )
 
 
+def _devices_or_report(timeout_s=150):
+    """Initialize the backend with a watchdog.
+
+    The axon relay has been observed to hang ``jax.devices()`` indefinitely
+    during outages; without this the driver sees rc=124 and NO JSON.  An
+    explicit error record (value 0, error field) is strictly more
+    informative than a timeout.
+    """
+    import threading
+
+    res = {}
+
+    def probe():
+        try:
+            res["d"] = jax.devices()
+        except Exception as e:  # pragma: no cover - depends on env
+            res["e"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "d" in res:
+        return res["d"]
+    why = res.get("e", f"device init exceeded {timeout_s}s "
+                       "(axon relay unreachable)")
+    _note(f"FATAL: {why}")
+    print(json.dumps({
+        "metric": "fwd_bwd_rasterizations_per_sec_1200x680",
+        "value": 0.0,
+        "unit": "renders/s",
+        "vs_baseline": 0.0,
+        "error": why,
+    }))
+    sys.exit(0)
+
+
 def main():
-    platform = jax.devices()[0].platform
+    platform = _devices_or_report()[0].platform
     backend = "pallas" if platform in ("tpu", "axon") else "xla"
     _note(f"devices ready: platform={platform} backend={backend}")
     cfg = RasterConfig(tile_h=32, tile_w=32)
