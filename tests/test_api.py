@@ -270,3 +270,31 @@ def test_prefiltered_contract(tmp_path, monkeypatch):
         raster_settings=settings, config=CFG,
     )
     assert out[0].shape == (3, 16, 16)
+
+
+def test_torch_bridge_sh_and_cov3d_paths():
+    """The bridge must differentiate the SH-color and precomputed-cov3D
+    input combinations too (light __init__.py's two one-of choices)."""
+    torch = pytest.importorskip("torch")
+    p = 32
+    g = torch.Generator().manual_seed(2)
+    means = (torch.randn(p, 3, generator=g)
+             + torch.tensor([0.0, 0.0, 3.0])).requires_grad_(True)
+    shs = torch.rand(p, 4, 3, generator=g).requires_grad_(True)
+    ops = torch.rand(p, 1, generator=g).requires_grad_(True)
+    # a valid covariance: diag(s^2)
+    s2 = (0.05 * torch.rand(p, 3, generator=g) + 0.01) ** 2
+    cov3d = torch.zeros(p, 6)
+    cov3d[:, 0], cov3d[:, 3], cov3d[:, 5] = s2[:, 0], s2[:, 1], s2[:, 2]
+    cov3d = cov3d.requires_grad_(True)
+    settings = dgr.GaussianRasterizationSettings(
+        image_height=16, image_width=24, tanfovx=0.7, tanfovy=0.5,
+        bg=torch.zeros(3), scale_modifier=1.0, viewmatrix=torch.eye(4),
+        sh_degree=1,
+    )
+    r = dgr.GaussianRasterizer(settings, config=CFG)
+    out = r(means3D=means, opacities=ops, shs=shs, cov3D_precomp=cov3d)
+    out[0].sum().backward()
+    assert means.grad is not None and float(means.grad.abs().sum()) > 0
+    assert shs.grad is not None and float(shs.grad.abs().sum()) > 0
+    assert cov3d.grad is not None and float(cov3d.grad.abs().sum()) > 0

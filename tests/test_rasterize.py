@@ -278,3 +278,23 @@ def test_pose_jvp_matches_jacfwd():
             (j.depth_median, jnp.moveaxis(jac[3], -1, 0), "depth_median")):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_pose_jvp_overflow_reported():
+    """rasterize_with_pose_jvp under an undersized instance budget must
+    report overflow (never a silent cap), like rasterize."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.ops.rasterize import (
+        rasterize_with_pose_jvp,
+    )
+
+    scene, cam = make_scene(p=96, h=32, w=40, seed=0)
+    kw = {k: v for k, v in scene.items()
+          if k not in ("means3D", "bg", "gt_depth")}
+    tw = jax.jacfwd(lambda xi: lie.apply_twist(cam.viewmatrix, xi))(
+        jnp.zeros((6,), jnp.float32))
+    j = rasterize_with_pose_jvp(
+        scene["means3D"], cam, CFG, jnp.moveaxis(tw, -1, 0),
+        max_instances=128, backend="xla", tile_batch=4, **kw)
+    assert bool(j.out.overflow)
+    assert np.all(np.isfinite(np.asarray(j.color)))
