@@ -55,6 +55,14 @@ class SLAMConfig:
     tile_axis: str = "tile"
     map_axis: object = None
     map_budget_per_shard: int = 0   # 0 = capacity / n_map_shards
+    # --- pose-graph refinement measurements ---
+    # Odometry edges alone are consistent with the current chain (zero
+    # residual), so refinement needs independent measurements: each
+    # keyframe is re-tracked against the MATURED map (cheap with the
+    # dual-render exact GN) and enters the graph as a map-anchored edge
+    # from the gauge-fixed first pose, fused with the odometry chain.
+    refine_track_iters: int = 4
+    refine_abs_weight: float = 4.0
 
     def __post_init__(self):
         if self.mesh is not None and self.map_axis is not None:
@@ -74,6 +82,8 @@ class SLAMState:
     kf_frames: List
     est_views: List
     rng: jax.Array
+    # frame index of each keyframe (trajectory-correction anchors)
+    kf_idx: List = dataclasses.field(default_factory=lambda: [0])
     # the run's RasterConfig with the instance budget sized from the
     # bootstrapped map (init_slam); kept here rather than written back into
     # the caller's SLAMConfig so a config object never acquires state
@@ -202,6 +212,7 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
     if frame_idx % scfg.keyframe_every == 0:
         state.kf_views.append(view)
         state.kf_frames.append(frame)
+        state.kf_idx.append(frame_idx)
         # seed unobserved regions: pixels with low silhouette
         out = render_model(state.model, Camera(
             viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
@@ -222,7 +233,7 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         # periodic pose-graph refinement over the keyframe chain (CG-SLAM
         # runs this alongside mapping; the map itself lives in world frame
         # and adapts through subsequent mapping windows)
-        state = refine_keyframes(state, scfg)
+        state = refine_keyframes(state, scfg, cam_t)
 
     if frame_idx % scfg.map_every == 0 and len(state.kf_views) >= 1:
         # window: always the latest keyframe (anchors the map to the current
@@ -264,7 +275,7 @@ def run_slam(dataset, scfg: SLAMConfig, cam_t: Camera,
             print(f"frame {i}: track loss {loss:.4f}, "
                   f"active {int(state.model.num_active)}")
     if scfg.pose_graph_refine and len(state.kf_views) >= 3:
-        state = refine_keyframes(state, scfg)
+        state = refine_keyframes(state, scfg, cam_t)
     return state, gt_views
 
 
@@ -275,32 +286,82 @@ def _dist_kw(scfg: SLAMConfig) -> dict:
                 map_budget=scfg.map_budget_per_shard)
 
 
-def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None):
-    """Pose-graph refinement over the keyframe chain.
+def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None,
+                     cam_t: Camera = None):
+    """Pose-graph refinement over the keyframe chain + trajectory update.
 
-    Single device: the native C++ Gauss-Newton solver (csrc/pose_graph.cpp).
-    With ``scfg.mesh``: the edge-sharded collective solver
-    (parallel.sharded.refine_poses_sharded) — same chordal SE(3) objective,
-    normal equations psum'd over ICI.
+    Odometry edges are taken from the estimated chain, so by themselves
+    they are residual-free; the *information* comes from re-tracking each
+    keyframe against the matured map (``refine_track_iters`` exact-GN
+    iterations via the dual-render Jacobian) — each re-tracked pose enters
+    as a map-anchored edge from the gauge-fixed first pose, weighted
+    ``refine_abs_weight``, and the solver fuses them with the odometry
+    chain.  Corrections are then propagated to the full trajectory
+    (``est_views``): every frame inherits the correction of its latest
+    preceding keyframe, ``V_f' = V_f @ inv(V_kf) @ V_kf'``.
+
+    Solvers: native C++ Gauss-Newton (csrc/pose_graph.cpp) on one device;
+    the edge-sharded collective solver with ``scfg.mesh`` (same chordal
+    SE(3) objective, normal equations psum'd over ICI).
     """
+    from . import lie
+
     k = len(state.kf_views)
-    views = np.stack([np.asarray(v, np.float64) for v in state.kf_views])
-    edges, zs = [], []
+    old = np.stack([np.asarray(v, np.float64) for v in state.kf_views])
+    edges, zs, ws = [], [], []
     for i in range(k - 1):
         edges.append((i, i + 1))
         # row-convention relative: Vj @ inv(Vi) == (Xi^-1 Xj)^T
-        zs.append(views[i + 1] @ np.linalg.inv(views[i]))
-    if scfg is not None and scfg.mesh is not None:
+        zs.append(old[i + 1] @ np.linalg.inv(old[i]))
+        ws.append(1.0)
+    if (scfg is not None and cam_t is not None
+            and scfg.refine_track_iters > 0):
+        rcfg = state.raster if state.raster is not None else scfg.raster
+        tcfg = dataclasses.replace(scfg.tracking,
+                                   iters=scfg.refine_track_iters)
+        inv0 = np.linalg.inv(old[0])
+        for j in range(1, k):
+            v2, _, _ = track_frame(
+                state.model, jnp.asarray(old[j], jnp.float32),
+                state.kf_frames[j], rcfg, tcfg, cam_t,
+                mesh=scfg.mesh, tile_axis=scfg.tile_axis,
+                map_axis=scfg.map_axis,
+                map_budget=scfg.map_budget_per_shard)
+            edges.append((0, j))
+            zs.append(np.asarray(v2, np.float64) @ inv0)
+            ws.append(scfg.refine_abs_weight)
+    if scfg is not None:
+        # the chordal GN solver runs the identical math on one device
+        # (mesh=None) and edge-sharded over a mesh, so single- and
+        # multi-device SLAM trajectories stay comparable
         from ..parallel.sharded import refine_poses_sharded
-        axis = (scfg.kf_axis if scfg.kf_axis in scfg.mesh.axis_names
-                else scfg.mesh.axis_names[0])
+        mesh = scfg.mesh
+        axis = "kf"
+        if mesh is not None:
+            axis = (scfg.kf_axis if scfg.kf_axis in mesh.axis_names
+                    else mesh.axis_names[0])
         refined = refine_poses_sharded(
-            views.astype(np.float32), np.asarray(edges, np.int32),
-            np.stack(zs).astype(np.float32), mesh=scfg.mesh, axis=axis,
-            iters=5)
+            old.astype(np.float32), np.asarray(edges, np.int32),
+            np.stack(zs).astype(np.float32), mesh=mesh, axis=axis,
+            iters=5, weights=np.asarray(ws, np.float32))
     else:
+        # bare-state call: the native C++ Gauss-Newton solver
+        # (csrc/pose_graph.cpp)
         from .. import native
         refined, _ = native.pose_graph_optimize(
-            views, np.asarray(edges), np.stack(zs), iters=5)
-    state.kf_views = [jnp.asarray(v) for v in refined]
+            old, np.asarray(edges), np.stack(zs), iters=5,
+            weights=np.asarray(ws))
+    refined = [np.asarray(v, np.float64) for v in refined]
+    state.kf_views = [jnp.asarray(v, jnp.float32) for v in refined]
+
+    # trajectory update: correction of the latest preceding keyframe
+    if state.kf_idx and state.est_views:
+        corr = [np.linalg.inv(o) @ r for o, r in zip(old, refined)]
+        j = 0
+        for f in range(len(state.est_views)):
+            while j + 1 < len(state.kf_idx) and state.kf_idx[j + 1] <= f:
+                j += 1
+            v = np.asarray(state.est_views[f], np.float64) @ corr[j]
+            state.est_views[f] = jnp.asarray(
+                lie.orthonormalize_view(jnp.asarray(v, jnp.float32)))
     return state

@@ -57,28 +57,54 @@ def test_slam_end_to_end_tracks_synthetic_sequence():
     assert int(state.model.num_active) > 0
 
 
-def test_pose_graph_refine_runs():
-    import os
-    import pytest
-    from diff_gaussian_rasterization_tpu import native
-    if not os.path.exists(os.path.join(
-            os.path.dirname(native.__file__), "_native",
-            "libposegraph.so")):
-        pytest.skip("native lib missing")
+def test_pose_graph_refine_recovers_injected_error():
+    """Refinement re-tracks keyframes against the matured map and fuses
+    them with odometry edges in the pose-graph solver; an injected
+    keyframe pose error must shrink substantially, the correction must
+    propagate to the trailing trajectory frames, and refinement of an
+    unperturbed run must not blow the ATE up (it is map-anchored, so on
+    this map-bias-limited toy it cannot *improve* it either)."""
+    import copy
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        refine_keyframes,
+    )
     cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
-    gt_model = random_room_model(capacity=512, n=512, seed=1)
+    gt_model = random_room_model(capacity=768, n=768, seed=0)
     views = orbit_trajectory(9)
     frames = render_sequence(gt_model, views, CAM_T, cfg)
     scfg = SLAMConfig(
-        raster=cfg, tracking=TrackingConfig(iters=5),
-        mapping=MappingConfig(iters=2), capacity=2048,
-        keyframe_every=2, map_every=100, seed_every_px=6,
-        pose_graph_refine=True,
+        raster=cfg, tracking=TrackingConfig(iters=10, sil_threshold=0.5),
+        mapping=MappingConfig(iters=15), capacity=4096, keyframe_every=2,
+        map_every=2, window=2, seed_every_px=2, init_iters=60,
+        motion_model=False, pose_graph_refine=False,
     )
     data = list(zip([np.asarray(v) for v in views], frames))
-    state, _ = run_slam(data, scfg, CAM_T)
-    for v in state.kf_views:
+    state, gt_views = run_slam(data, scfg, CAM_T)
+    gtv = [jnp.asarray(v) for v in gt_views]
+    ate0 = ate_rmse(state.est_views, gtv)
+
+    ref = refine_keyframes(copy.copy(state), scfg, CAM_T)
+    for v in ref.kf_views:
         assert np.all(np.isfinite(np.asarray(v)))
+    ate1 = ate_rmse(ref.est_views, gtv)
+    assert ate1 < ate0 * 1.15, (ate0, ate1)
+
+    bad = copy.copy(state)
+    bad.kf_views = list(state.kf_views)
+    bad.est_views = list(state.est_views)
+    xi = jnp.asarray([0.03, -0.02, 0.015, 0.02, -0.015, 0.02], jnp.float32)
+    pert = lie.apply_twist(bad.kf_views[-1], xi)
+    err0 = float(jnp.abs(pert - state.kf_views[-1]).max())
+    bad.kf_views[-1] = pert
+    bad.est_views[-1] = lie.apply_twist(bad.est_views[-1], xi)
+    fixed = refine_keyframes(bad, scfg, CAM_T)
+    err1 = float(jnp.abs(fixed.kf_views[-1] - state.kf_views[-1]).max())
+    assert err1 < err0 * 0.5, (err0, err1)
+    # the correction reached the trailing est frame too
+    traj_err = float(jnp.abs(fixed.est_views[-1]
+                             - state.est_views[-1]).max())
+    assert traj_err < err0 * 0.75, (err0, traj_err)
 
 
 def test_run_slam_mesh_matches_single_device():
