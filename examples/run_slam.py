@@ -9,6 +9,9 @@ accept the real datasets when present).
 Usage:
   python examples/run_slam.py [--frames 32] [--res 120x168] [--gaussians 2000]
                               [--method gn|gn_fd|adam] [--cpu]
+                              [--dataset replica:/path/to/scene |
+                               tum:/path/to/scene]
+                              [--mesh kf=2,tile=4] [--refine]
 """
 
 import argparse
@@ -27,6 +30,14 @@ def main():
                     choices=["gn", "gn_fd", "adam"])
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (before touching jax)")
+    ap.add_argument("--dataset", default=None,
+                    help="replica:<dir> or tum:<dir> — run a real on-disk "
+                         "sequence instead of the synthetic orbit")
+    ap.add_argument("--mesh", default=None,
+                    help="device-mesh axes, e.g. kf=2,tile=4 (must multiply "
+                         "to the device count); enables distributed SLAM")
+    ap.add_argument("--refine", action="store_true",
+                    help="measurement-based pose-graph refinement at end")
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,17 +57,47 @@ def main():
     from diff_gaussian_rasterization_tpu.models.slam import (
         MappingConfig, TrackingConfig)
 
-    h, w = (int(x) for x in args.res.split("x"))
-    cam_t = Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32), tanfovx=0.7,
-                   tanfovy=0.55, height=h, width=w)
-    cfg = RasterConfig(tile_h=8, tile_w=16, instance_multiplier=12)
+    mesh = None
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+        axes = dict(kv.split("=") for kv in args.mesh.split(","))
+        names = tuple(axes)
+        shape = tuple(int(axes[n]) for n in names)
+        mesh = Mesh(np.array(jax.devices()).reshape(shape), names)
+        print(f"mesh: {dict(zip(names, shape))}")
 
-    print(f"rendering ground-truth sequence ({args.frames} frames, "
-          f"{h}x{w}, {args.gaussians} blobs)...")
-    gt_model = random_room_model(capacity=args.gaussians, n=args.gaussians,
-                                 seed=0)
-    views = orbit_trajectory(args.frames)
-    frames = render_sequence(gt_model, views, cam_t, cfg)
+    if args.dataset:
+        kind, _, root = args.dataset.partition(":")
+        if kind == "replica":
+            from diff_gaussian_rasterization_tpu.io.replica import (
+                ReplicaDataset)
+            ds = ReplicaDataset(root)
+        elif kind == "tum":
+            from diff_gaussian_rasterization_tpu.io.tum import TUMDataset
+            ds = TUMDataset(root)
+        else:
+            raise SystemExit(f"unknown dataset kind {kind!r}")
+        cam_t = ds.camera_template()
+        h, w = cam_t.height, cam_t.width
+        # 16x16 tiles fit any resolution (tile_px % 128 == 0); the exact
+        # footprint culling keeps the 12x multiplier honest and the probe
+        # in init_slam rightsizes the budget after bootstrap
+        cfg = RasterConfig(tile_h=16, tile_w=16, chunk=32,
+                           instance_multiplier=12)
+        data = ds
+    else:
+        h, w = (int(x) for x in args.res.split("x"))
+        cam_t = Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32),
+                       tanfovx=0.7, tanfovy=0.55, height=h, width=w)
+        cfg = RasterConfig(tile_h=8, tile_w=16, instance_multiplier=12)
+        print(f"rendering ground-truth sequence ({args.frames} frames, "
+              f"{h}x{w}, {args.gaussians} blobs)...")
+        gt_model = random_room_model(capacity=args.gaussians,
+                                     n=args.gaussians, seed=0)
+        views = orbit_trajectory(args.frames)
+        frames = render_sequence(gt_model, views, cam_t, cfg)
+        data = list(zip([np.asarray(v) for v in views], frames))
 
     scfg = SLAMConfig(
         raster=cfg,
@@ -66,15 +107,16 @@ def main():
         capacity=8 * args.gaussians,
         keyframe_every=2, map_every=2, window=3,
         seed_every_px=2, init_iters=60, motion_model=False,
+        pose_graph_refine=args.refine,
+        mesh=mesh,
     )
-    data = list(zip([np.asarray(v) for v in views], frames))
 
     t0 = time.time()
     state, gt_views = run_slam(data, scfg, cam_t, verbose=True)
     dt = time.time() - t0
 
     ate = ate_rmse(state.est_views, [jnp.asarray(v) for v in gt_views])
-    ate_static = ate_rmse([views[0]] * len(gt_views),
+    ate_static = ate_rmse([gt_views[0]] * len(gt_views),
                           [jnp.asarray(v) for v in gt_views])
     print(f"\n{len(gt_views)} frames in {dt:.1f}s "
           f"({len(gt_views)/dt:.2f} fps incl. compile)")
