@@ -365,3 +365,81 @@ def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None,
             state.est_views[f] = jnp.asarray(
                 lie.orthonormalize_view(jnp.asarray(v, jnp.float32)))
     return state
+
+
+def save_slam(path: str, state: SLAMState):
+    """Checkpoint the full SLAM session for resume (orbax).
+
+    Persists the map, optimizer and densify state, keyframe window
+    (poses + frames + frame indices), and the estimated trajectory —
+    everything `slam_step` needs to continue.  Optimizer/densify pytrees
+    are stored as flat leaf lists (their structure is code-defined and
+    rebuilt at load; orbax's name-keyed dict round-trip would reorder
+    namedtuple fields alphabetically).
+    """
+    from ..utils.checkpoint import _ckpt
+
+    ocp = _ckpt()
+    payload = {
+        "model": state.model,
+        # zero-padded keys: orbax round-trips lists as name-keyed dicts
+        # whose restore order is lexicographic
+        "opt_leaves": {f"{i:04d}": leaf for i, leaf in
+                       enumerate(jax.tree.leaves(state.opt_state))},
+        "dstate_leaves": {f"{i:04d}": leaf for i, leaf in
+                          enumerate(jax.tree.leaves(state.dstate))},
+        "est_views": jnp.stack([jnp.asarray(v) for v in state.est_views]),
+        "kf_views": jnp.stack([jnp.asarray(v) for v in state.kf_views]),
+        "kf_idx": jnp.asarray(state.kf_idx, jnp.int32),
+        "kf_rgb": jnp.stack([jnp.asarray(f.rgb) for f in state.kf_frames]),
+        "kf_depth": jnp.stack([jnp.asarray(f.depth)
+                               for f in state.kf_frames]),
+        "rng": state.rng,
+        "max_instances": jnp.asarray(
+            -1 if state.raster is None or state.raster.max_instances is None
+            else state.raster.max_instances, jnp.int32),
+    }
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        ckptr.save(path, payload, force=True)
+
+
+def load_slam(path: str, scfg: SLAMConfig) -> SLAMState:
+    """Restore a SLAM session saved by :func:`save_slam`.
+
+    ``scfg`` must match the saved run's capacity and mapping config (the
+    optimizer structure is rebuilt from it)."""
+    import dataclasses as dc
+
+    from ..utils.checkpoint import _ckpt
+    from .gaussians import init_model
+    from .slam import Frame, make_map_optimizer, model_params
+
+    ocp = _ckpt()
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        p = ckptr.restore(path)
+    model_like = init_model(scfg.capacity, sh_degree=0)
+    model = dc.replace(model_like, **p["model"]) \
+        if isinstance(p["model"], dict) else p["model"]
+    def leaves_of(d):
+        return [d[k] for k in sorted(d)]
+
+    opt_like = make_map_optimizer(scfg.mapping).init(model_params(model))
+    opt_state = jax.tree.unflatten(jax.tree.structure(opt_like),
+                                   leaves_of(p["opt_leaves"]))
+    d_like = DensifyState.zero(scfg.capacity)
+    dstate = jax.tree.unflatten(jax.tree.structure(d_like),
+                                leaves_of(p["dstate_leaves"]))
+    mi = int(p["max_instances"])
+    raster = None if mi < 0 else scfg.raster.replace(max_instances=mi)
+    frames = [Frame(rgb=p["kf_rgb"][i], depth=p["kf_depth"][i])
+              for i in range(p["kf_rgb"].shape[0])]
+    return SLAMState(
+        model=model, opt_state=opt_state, dstate=dstate,
+        kf_views=[p["kf_views"][i] for i in range(p["kf_views"].shape[0])],
+        kf_frames=frames,
+        est_views=[p["est_views"][i]
+                   for i in range(p["est_views"].shape[0])],
+        rng=p["rng"],
+        kf_idx=[int(i) for i in np.asarray(p["kf_idx"])],
+        raster=raster,
+    )

@@ -152,3 +152,44 @@ def test_run_slam_mesh_matches_single_device():
     ate1 = ate_rmse(s1.est_views, [jnp.asarray(v) for v in gt_views])
     ate2 = ate_rmse(s2.est_views, [jnp.asarray(v) for v in gt_views])
     assert abs(ate1 - ate2) < 2e-3, (ate1, ate2)
+
+
+def test_slam_session_checkpoint_resume(tmp_path):
+    """save_slam/load_slam round-trip the full session (map, optimizer,
+    densify stats, keyframes + frames, trajectory) and the restored state
+    continues tracking identically to the uninterrupted run."""
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        init_slam, load_slam, save_slam, slam_step,
+    )
+
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=512, n=512, seed=2)
+    views = orbit_trajectory(5)
+    frames = render_sequence(gt_model, views, CAM_T, cfg)
+    scfg = SLAMConfig(
+        raster=cfg, tracking=TrackingConfig(iters=4, sil_threshold=0.5),
+        mapping=MappingConfig(iters=4), capacity=2048, keyframe_every=2,
+        map_every=2, window=2, seed_every_px=3, init_iters=10,
+        motion_model=False,
+    )
+    state = init_slam(jnp.asarray(views[0]), frames[0], CAM_T, scfg)
+    state, _ = slam_step(state, frames[1], CAM_T, scfg, 1)
+    state, _ = slam_step(state, frames[2], CAM_T, scfg, 2)
+
+    path = str(tmp_path / "slam_ckpt")
+    save_slam(path, state)
+    restored = load_slam(path, scfg)
+
+    np.testing.assert_array_equal(np.asarray(restored.model.means3D),
+                                  np.asarray(state.model.means3D))
+    assert restored.kf_idx == state.kf_idx
+    assert len(restored.est_views) == len(state.est_views)
+    assert restored.raster.max_instances == state.raster.max_instances
+
+    # both continue on the next frame and agree
+    a, _ = slam_step(state, frames[3], CAM_T, scfg, 3)
+    b, _ = slam_step(restored, frames[3], CAM_T, scfg, 3)
+    np.testing.assert_allclose(np.asarray(a.est_views[-1]),
+                               np.asarray(b.est_views[-1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.model.means3D),
+                               np.asarray(b.model.means3D), atol=1e-6)
