@@ -173,3 +173,27 @@ def test_rasterize_pose_jvp_pallas_backend():
         np.testing.assert_allclose(np.asarray(getattr(a, n)),
                                    np.asarray(getattr(b, n)),
                                    rtol=1e-4, atol=1e-5, err_msg=n)
+
+
+def test_pallas_scan_mm_flags_match():
+    """cfg.scan_sum_mm / scan_prod_mm (MXU triangular-matmul scans) through
+    the full Pallas fwd+bwd structure must match the log-doubling scans to
+    rounding tolerance."""
+    scene, cam = make_scene(p=48, h=24, w=32, seed=13)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    mm = CFG.replace(scan_sum_mm=True, scan_prod_mm=True)
+
+    def grads(cfg):
+        def loss(m):
+            out = rasterize(m, cam, cfg, backend="pallas", **kw)
+            return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                    + 0.1 * jnp.sum(out.opacity_map))
+        out = rasterize(scene["means3D"], cam, cfg, backend="pallas", **kw)
+        return out, jax.grad(loss)(scene["means3D"])
+
+    (oa, ga) = grads(CFG)
+    (ob, gb) = grads(mm)
+    np.testing.assert_allclose(np.asarray(oa.color), np.asarray(ob.color),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-3, atol=1e-5)
