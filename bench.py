@@ -151,7 +151,7 @@ def main():
     # ~30 ms per-execution round-trip latency; a production SLAM loop keeps
     # the device busy with a stream of steps, so throughput is measured by
     # chaining INNER fwd+bwd steps inside one executable and dividing.
-    INNER = 10
+    INNER = int(os.environ.get("DGR_BENCH_INNER", 10))
     grad_fn = jax.grad(loss, argnums=(0, 1))
 
     def many(means, v):

@@ -33,18 +33,18 @@ __version__ = "0.1.0"
 
 
 def _asarray(x):
-    """Accept numpy / jax / torch inputs in the compatibility API.
+    """Accept numpy / jax / torch inputs in the compatibility API
+    (delegates to the package's single conversion policy,
+    ``torch_compat.to_jax``).
 
     Torch tensors that carry ``requires_grad=True`` never reach this
     detach: ``rasterize_gaussians`` routes them through the torch autograd
     bridge (``torch_compat``) so gradients flow back into torch exactly as
     with the reference extension.
     """
-    if x is None:
-        return None
-    if hasattr(x, "detach") and hasattr(x, "cpu"):  # torch.Tensor
-        x = x.detach().cpu().numpy()
-    return jnp.asarray(x)
+    from .torch_compat import to_jax
+
+    return to_jax(x, keep_empty=True)
 
 
 def _wants_torch_grad(*xs):
@@ -209,10 +209,9 @@ def rasterize_gaussians(
     )
 
     def none_if_empty(x):
-        if x is None:
-            return None
-        x = _asarray(x)
-        return None if x.size == 0 else x
+        from .torch_compat import to_jax
+
+        return to_jax(x)
 
     kwargs = dict(
         opacities=_asarray(opacities),

@@ -71,6 +71,11 @@ class TUMDataset:
     max_dt: float = 0.02
     fx: float = None  # override the freiburg defaults (e.g. test fixtures)
     fy: float = None
+    # cx/cy are stored for completeness but do NOT affect rendering: the
+    # projection model is principal-point-centered, exactly like the
+    # reference's ndc2Pix (auxiliary.h:41-44) — it has no principal-point
+    # input either.  Off-center TUM sequences carry a ~16 px modeling
+    # error in y in BOTH engines.
     cx: float = None
     cy: float = None
 

@@ -71,6 +71,10 @@ class SLAMConfig:
             assert not kf_on, (
                 "kf_axis and map_axis sharding cannot combine in one "
                 "mapping step (nested shard_map)")
+            assert self.mapping.uncertainty_prune == 0, (
+                "uncertainty_prune needs global per-Gaussian stats, which "
+                "a map-sharded render cannot produce (the gathered rows "
+                "have no inverse-gather); disable one of the two")
 
 
 @dataclasses.dataclass

@@ -473,8 +473,13 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
                                means2D=p["__means2d"], track_off=True)
             l = wt * rgbd_loss(out, Frame(rgb, depth), mcfg.w_color,
                                mcfg.w_depth)
-            aux = ((out.radii > 0).astype(jnp.int32),
-                   out.gau_uncertainty, out.gau_related_pixels)
+            # window-summed stats, padding frames (wt == 0) excluded — the
+            # same semantics as the unsharded path so pruning/densify
+            # decisions stay mesh-invariant
+            live = (wt > 0).astype(jnp.int32)
+            aux = (((out.radii > 0).astype(jnp.int32)) * live,
+                   out.gau_uncertainty * live,
+                   out.gau_related_pixels * live)
             return l, aux
 
         vag = sharded_value_and_grad(loss_one, mesh, kf_axis, has_aux=True,
@@ -486,7 +491,7 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
     else:
         def loss_fn(params, means2d):
             total = 0.0
-            out = None
+            vis = gau_u = gau_np = None
             for i in range(n_frames):
                 m = model.replace(**params)
                 if map_axis is not None:
@@ -510,18 +515,29 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
                 total = total + wts[i] * rgbd_loss(
                     out, Frame(rgbs[i], depths[i]), mcfg.w_color,
                     mcfg.w_depth)
-            return total / jnp.maximum(jnp.sum(wts), 1e-9), out
+                if map_axis is None:
+                    # window-summed per-Gaussian stats (matches the
+                    # kf-sharded path); padding frames excluded
+                    live = (wts[i] > 0)
+                    v_i = (out.radii > 0) & live
+                    u_i = out.gau_uncertainty * live.astype(jnp.float32)
+                    n_i = out.gau_related_pixels * live.astype(jnp.int32)
+                    vis = v_i if vis is None else (vis | v_i)
+                    gau_u = u_i if gau_u is None else gau_u + u_i
+                    gau_np = n_i if gau_np is None else gau_np + n_i
+            return (total / jnp.maximum(jnp.sum(wts), 1e-9),
+                    (vis, gau_u, gau_np))
 
-        (loss, out), (grads, g2d) = jax.value_and_grad(
+        (loss, (vis, gau_u, gau_np)), (grads, g2d) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
         if map_axis is not None:
             # radii refer to the gathered working set, not global slots;
-            # "received screen gradient" is the global visibility proxy
+            # "received screen gradient" is the global visibility proxy.
+            # Per-Gaussian uncertainty stats would need an inverse gather;
+            # SLAMConfig rejects uncertainty_prune with map sharding.
             visible = jnp.abs(g2d).sum(-1) > 0
-            gau_u = gau_np = None
         else:
-            visible = out.radii > 0
-            gau_u, gau_np = out.gau_uncertainty, out.gau_related_pixels
+            visible = vis
 
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

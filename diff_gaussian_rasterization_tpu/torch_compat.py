@@ -47,15 +47,19 @@ def _torch():
     return torch
 
 
-def to_jax(x):
-    """torch / numpy / jax → jax array; empty tensors (the reference's
-    ``torch.Tensor([])`` placeholders) and None → None."""
+def to_jax(x, keep_empty: bool = False):
+    """torch / numpy / jax → jax array (the package's single conversion
+    policy; ``__init__``'s compat helpers delegate here).  Empty tensors —
+    the reference's ``torch.Tensor([])`` placeholders — and None map to
+    None unless ``keep_empty``."""
     if x is None:
         return None
     if hasattr(x, "detach") and hasattr(x, "cpu"):  # torch.Tensor
         x = x.detach().cpu().numpy()
     x = np.asarray(x)
-    return None if x.size == 0 else jnp.asarray(x)
+    if x.size == 0 and not keep_empty:
+        return None
+    return jnp.asarray(x)
 
 
 def _to_torch(x, int_ok=False):

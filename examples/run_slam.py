@@ -112,7 +112,9 @@ def main():
     )
 
     t0 = time.time()
-    state, gt_views = run_slam(data, scfg, cam_t, verbose=True)
+    state, gt_views = run_slam(
+        data, scfg, cam_t, verbose=True,
+        max_frames=args.frames if args.dataset else None)
     dt = time.time() - t0
 
     ate = ate_rmse(state.est_views, [jnp.asarray(v) for v in gt_views])
