@@ -74,16 +74,26 @@ def make_scene(seed=0):
     )
 
 
-def _devices_or_report(timeout_s=150):
-    """Initialize the backend with a watchdog.
+def _devices_or_report():
+    """Initialize the backend with a poll-retry watchdog.
 
     The axon relay has been observed to hang ``jax.devices()`` indefinitely
-    during outages; without this the driver sees rc=124 and NO JSON.  An
-    explicit error record (value 0, error field) is strictly more
-    informative than a timeout.
+    during outages and to take minutes when slow.  Round-2 lesson: a single
+    150 s probe converts "relay slow during the driver window" into a round
+    with no number.  Instead, poll the (single, singleton-locked) init
+    thread in 30 s windows up to DGR_INIT_BUDGET seconds (default 480 —
+    most of the driver's budget), and if init raised quickly, retry with a
+    fresh process up to the same budget (backend-init failure is sticky
+    in-process).  On final failure emit value=null + exit nonzero so a
+    consumer that ignores the error field cannot mistake an outage for a
+    measured 0 renders/s.
     """
+    import os
+    import subprocess
     import threading
 
+    budget = float(os.environ.get("DGR_INIT_BUDGET", 480))
+    deadline = _T0 + budget
     res = {}
 
     def probe():
@@ -94,20 +104,50 @@ def _devices_or_report(timeout_s=150):
 
     th = threading.Thread(target=probe, daemon=True)
     th.start()
-    th.join(timeout_s)
-    if "d" in res:
-        return res["d"]
-    why = res.get("e", f"device init exceeded {timeout_s}s "
-                       "(axon relay unreachable)")
+    while True:
+        th.join(min(30.0, max(0.1, deadline - time.time())))
+        if "d" in res:
+            return res["d"]
+        if time.time() >= deadline:
+            why = res.get("e", f"device init exceeded {budget:.0f}s "
+                               "(axon relay unreachable)")
+            break
+        if "e" in res:
+            # init failed fast (not hung): in-process retry won't work
+            # (backend cache is sticky) — re-probe via fresh subprocesses
+            # until one succeeds, then init here (now that the relay is
+            # known reachable) or run out the budget.
+            _note(f"init raised {res['e']}; subprocess re-probing")
+            while time.time() < deadline:
+                try:
+                    rc = subprocess.call(
+                        [sys.executable, "-c", "import jax; jax.devices()"],
+                        timeout=max(1, deadline - time.time()),
+                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                except subprocess.TimeoutExpired:
+                    rc = -1
+                if rc == 0:
+                    # relay back, but this process's backend-init failure is
+                    # sticky — restart the bench with the remaining budget
+                    _note("relay back; re-execing bench")
+                    os.environ["DGR_INIT_BUDGET"] = (
+                        f"{max(60.0, deadline - time.time()):.0f}")
+                    sys.stdout.flush(); sys.stderr.flush()
+                    os.execv(sys.executable, [sys.executable] + sys.argv)
+                time.sleep(15)
+            why = res["e"]
+            break
+        _note(f"device init still pending at +{time.time() - _T0:.0f}s "
+              f"(budget {budget:.0f}s)")
     _note(f"FATAL: {why}")
     print(json.dumps({
         "metric": "fwd_bwd_rasterizations_per_sec_1200x680",
-        "value": 0.0,
+        "value": None,
         "unit": "renders/s",
-        "vs_baseline": 0.0,
+        "vs_baseline": None,
         "error": why,
     }))
-    sys.exit(0)
+    sys.exit(3)
 
 
 def main():
