@@ -114,12 +114,16 @@ class GaussianRasterizer:
 
     def __init__(self, raster_settings: GaussianRasterizationSettings,
                  config: RasterConfig = DEFAULT_CONFIG,
-                 variant: str = "light"):
+                 variant: str = "light", alpha_grad: bool = False):
         if variant == "full":
             config = config.full_variant()
         self.variant = variant
         self.raster_settings = raster_settings
         self.config = config
+        # torch-bridge gradient surface: False mirrors the reference's
+        # autograd.Function, which never backpropagates the opacity_map
+        # output (see torch_compat.rasterize_gaussians_torch)
+        self.alpha_grad = alpha_grad
 
     def markVisible(self, positions):
         # reference: near-plane-only frustum test against the *settings*
@@ -154,6 +158,7 @@ class GaussianRasterizer:
             viewmatrix=(viewmatrix if viewmatrix is not None
                         else s.viewmatrix),
             gt_depth=gt_depth, raster_settings=s, config=self.config,
+            alpha_grad=self.alpha_grad,
         )
         if self.variant == "full":
             # full ext returns (color, radii, depth, uncertainty) where
@@ -176,6 +181,7 @@ def rasterize_gaussians(
     raster_settings: GaussianRasterizationSettings = None,
     config: RasterConfig = DEFAULT_CONFIG,
     means2D=None,
+    alpha_grad: bool = False,
 ):
     """Functional analogue of the reference ``rasterize_gaussians``
     (light __init__.py:21-46).
@@ -201,7 +207,7 @@ def rasterize_gaussians(
             means3D, means2D, shs, colors_precomp, opacities, scales,
             rotations, cov3Ds_precomp,
             viewmatrix if viewmatrix is not None else s.viewmatrix,
-            gt_depth, s, config)
+            gt_depth, s, config, alpha_grad=alpha_grad)
     cam = Camera(
         viewmatrix=_asarray(viewmatrix),
         tanfovx=float(s.tanfovx), tanfovy=float(s.tanfovy),

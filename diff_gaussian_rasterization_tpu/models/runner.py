@@ -221,6 +221,18 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         out = render_model(state.model, Camera(
             viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
             height=cam_t.height, width=cam_t.width), rcfg)
+        # React to the instance budget filling up: ``num_rendered`` is the
+        # TRUE (uncapped) count (ops/binning.py), so growing the budget when
+        # a keyframe's view reaches 80% keeps the "overflow is reported,
+        # never silent" contract *actionable* — without this, a scene that
+        # outgrows the boot-time budget silently drops its deepest instances
+        # for the rest of the run.  Growing max_instances re-jits the
+        # track/map graphs once per growth (rare: counts rise with map
+        # maturity, and 2.5x headroom matches init_slam's sizing).
+        if (rcfg.max_instances is not None
+                and int(out.num_rendered) > 0.8 * rcfg.max_instances):
+            budget = int(-(-int(out.num_rendered) * 2.5 // 1024) * 1024)
+            state.raster = rcfg = rcfg.replace(max_instances=budget)
         sil = np.asarray(out.opacity_map[0])
         holes = Frame(
             rgb=frame.rgb,

@@ -159,7 +159,7 @@ class _RasterizeGaussiansTorch:
             def forward(ctx, means3D, means2D, sh, colors_precomp,
                         opacities, scales, rotations, cov3Ds_precomp,
                         viewmatrix, gt_depth, raster_settings, config,
-                        max_instances):
+                        max_instances, alpha_grad):
                 s = raster_settings
                 cfg = config
                 diff = {
@@ -214,6 +214,7 @@ class _RasterizeGaussiansTorch:
                     floats, aux = fwd(diff, bg, gt)
 
                 ctx.dgr = (diff, bg, gt, key, m2d_shape, s)
+                ctx.alpha_grad = alpha_grad
                 radii, gau_u, gau_np = aux
                 outs = (
                     _to_torch(floats["color"]),
@@ -248,7 +249,16 @@ class _RasterizeGaussiansTorch:
                     "depth": cot(grad_depth, (1, h, w)),
                     "depth_median": cot(grad_depth_median, (1, h, w)),
                     "depth_var": cot(grad_depth_var, (1, h, w)),
-                    "opacity_map": cot(grad_alpha, (1, h, w)),
+                    # The reference's autograd.Function never feeds the
+                    # opacity_map (out_alpha) cotangent to its backward
+                    # (light __init__.py:107-152 passes only color/depth/
+                    # median/var grads to _C.rasterize_gaussians_backward),
+                    # so drop-in callers whose loss touches alpha get zero
+                    # gradient from it.  Default mirrors that; alpha_grad=
+                    # True opts into the full (correct) VJP.  See PARITY.md.
+                    "opacity_map": (cot(grad_alpha, (1, h, w))
+                                    if ctx.alpha_grad
+                                    else jnp.zeros((1, h, w), jnp.float32)),
                 }
                 _, bwd = _make_fns(*key)
 
@@ -291,7 +301,7 @@ class _RasterizeGaussiansTorch:
                         tg("colors_precomp"), tg("opacities"),
                         tg("scales"), tg("rotations"),
                         tg("cov3D_precomp"), tg("viewmatrix"),
-                        None, None, None, None)
+                        None, None, None, None, None)
 
         cls._cls = F
         return F
@@ -301,12 +311,18 @@ def rasterize_gaussians_torch(
     means3D, means2D, sh, colors_precomp, opacities, scales, rotations,
     cov3Ds_precomp, viewmatrix, gt_depth, raster_settings,
     config: RasterConfig = RasterConfig(), max_instances=None,
+    alpha_grad: bool = False,
 ):
     """Torch-gradient analogue of the reference ``rasterize_gaussians``
     (light ``__init__.py:21-46``): returns the 8-tuple of torch tensors
     and supports ``loss.backward()`` with gradients for every
-    differentiable input, including ``viewmatrix``."""
+    differentiable input, including ``viewmatrix``.
+
+    ``alpha_grad=False`` (default) reproduces the reference's gradient
+    surface exactly: the opacity_map output's cotangent is dropped, as the
+    reference's autograd.Function never passes it to the CUDA backward.
+    ``alpha_grad=True`` propagates it through the full VJP instead."""
     return _RasterizeGaussiansTorch.get().apply(
         means3D, means2D, sh, colors_precomp, opacities, scales, rotations,
         cov3Ds_precomp, viewmatrix, gt_depth, raster_settings, config,
-        max_instances)
+        max_instances, alpha_grad)

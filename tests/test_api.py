@@ -164,7 +164,11 @@ def test_torch_autograd_bridge():
     # pose (light __init__.py:48-178) — and match jax.grad of the native op
     torch = pytest.importorskip("torch")
     scene, view, settings = _torch_scene(torch)
-    r = dgr.GaussianRasterizer(settings, config=CFG)
+    # alpha_grad=True: the loss below touches opacity_map, and the jax.grad
+    # comparison uses the full VJP; the reference-mirroring default (which
+    # drops that cotangent, like the reference autograd.Function) is checked
+    # at the end of this test
+    r = dgr.GaussianRasterizer(settings, config=CFG, alpha_grad=True)
     out = r(means3D=scene["means3D"], means2D=scene["means2D"],
             opacities=scene["opacities"],
             colors_precomp=scene["colors_precomp"],
@@ -222,6 +226,38 @@ def test_torch_autograd_bridge():
             rotations=jnp.asarray(scene["rotations"].detach().numpy()),
         ).color), atol=1e-6)
     assert radii.shape == (64,)
+
+    # default (alpha_grad=False) mirrors the reference: the opacity_map
+    # cotangent is dropped, so the same loss yields the gradients of a loss
+    # WITHOUT the alpha term (light __init__.py:107-152 never passes
+    # grad_alpha to _C.rasterize_gaussians_backward)
+    view2 = view.detach().clone().requires_grad_(True)
+    r_ref = dgr.GaussianRasterizer(settings, config=CFG)
+    out2 = r_ref(means3D=scene["means3D"].detach().requires_grad_(True),
+                 means2D=torch.zeros(64, 3, requires_grad=True),
+                 opacities=scene["opacities"].detach(),
+                 colors_precomp=scene["colors_precomp"].detach(),
+                 scales=scene["scales"].detach(),
+                 rotations=scene["rotations"].detach(), viewmatrix=view2)
+    (out2[0].sum() + 0.3 * out2[2].sum() + 0.1 * out2[5].sum()).backward()
+
+    def jloss_noalpha(v):
+        native = dgr.rasterize(
+            jnp.asarray(scene["means3D"].detach().numpy()),
+            dgr.Camera(viewmatrix=v, tanfovx=0.7, tanfovy=0.5,
+                       height=32, width=48),
+            CFG,
+            opacities=jnp.asarray(scene["opacities"].detach().numpy()),
+            colors_precomp=jnp.asarray(
+                scene["colors_precomp"].detach().numpy()),
+            scales=jnp.asarray(scene["scales"].detach().numpy()),
+            rotations=jnp.asarray(scene["rotations"].detach().numpy()),
+        )
+        return jnp.sum(native.color) + 0.3 * jnp.sum(native.depth)
+
+    gv_noalpha = jax.grad(jloss_noalpha)(jview)
+    np.testing.assert_allclose(view2.grad.numpy(), np.asarray(gv_noalpha),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_torch_backward_snapshot_dump(tmp_path, monkeypatch):

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from diff_gaussian_rasterization_tpu.io.ply import load_ply, save_ply
@@ -84,6 +85,7 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "replica_mini",
                        "office0")
 
 
+@pytest.mark.quick
 def test_replica_fixture_reader():
     """The checked-in mini fixture proves the Replica on-disk format path
     (results/frame*.jpg + depth*.png + traj.txt + cam_params.json) before
@@ -151,6 +153,7 @@ def test_replica_fixture_slam():
     assert ate < 0.65 * static, (ate, static)
 
 
+@pytest.mark.quick
 def test_tum_fixture_reader():
     """Checked-in mini TUM-format fixture: timestamped lists, 16-bit depth,
     quaternion groundtruth, nearest-timestamp association (incl. dropping

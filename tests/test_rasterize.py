@@ -280,6 +280,81 @@ def test_pose_jvp_matches_jacfwd():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_pose_jvp_sigma2d_branch_bound():
+    """Quantify the Σ2D/conic tangent branch the pose JVP drops by
+    construction (light-variant semantics, reference README.md:53-58).
+
+    On a strongly anisotropic stress scene (13:1 axis ratio — the worst
+    realistic case for view-dependent projected covariance), the JVP must
+    (a) match jacfwd of the LIGHT-branch path exactly, and (b) differ from
+    jacfwd of the FULL-branch path (pose_cov2d_branch=True) by a bounded,
+    *nonzero* relative amount — measured ~11% Frobenius overall, up to
+    ~43% on the roll twist (rotation about the view axis moves projected
+    covariances most while moving centers least).  This keeps the
+    "exact GN" tracking claim honest: exact w.r.t. the light Jacobian."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.ops.rasterize import (
+        rasterize_with_pose_jvp,
+    )
+
+    rng = np.random.RandomState(5)
+    p, h, w = 96, 32, 40
+    means = rng.uniform(-1, 1, (p, 3))
+    means[:, 2] = rng.uniform(1.0, 4.0, p)
+    scales = np.stack([rng.uniform(0.3, 0.5, p),
+                       rng.uniform(0.02, 0.04, p),
+                       rng.uniform(0.02, 0.04, p)], -1)
+    quats = rng.normal(size=(p, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    kw = dict(
+        opacities=jnp.asarray(rng.uniform(0.3, 0.95, (p, 1)), jnp.float32),
+        scales=jnp.asarray(scales, jnp.float32),
+        rotations=jnp.asarray(quats, jnp.float32),
+        colors_precomp=jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32),
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    gt = jnp.asarray(rng.uniform(1, 4, (h, w)), jnp.float32)
+    cam = Camera(viewmatrix=jnp.eye(4), tanfovx=float(np.tan(0.5)),
+                 tanfovy=float(np.tan(0.4)), height=h, width=w)
+    m3 = jnp.asarray(means, jnp.float32)
+
+    tw = jax.jacfwd(lambda xi: lie.apply_twist(cam.viewmatrix, xi))(
+        jnp.zeros((6,), jnp.float32))
+    j = rasterize_with_pose_jvp(m3, cam, CFG, jnp.moveaxis(tw, -1, 0),
+                                bg=bg, gt_depth=gt, backend="xla",
+                                tile_batch=4, **kw)
+
+    def jac_of(cfg):
+        def render_of_xi(xi):
+            view = lie.apply_twist(cam.viewmatrix, xi)
+            cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                          tanfovy=cam.tanfovy, height=h, width=w)
+            out = rasterize(m3, cam2, cfg, backend="xla", tile_batch=4,
+                            use_custom_vjp=False, bg=bg, gt_depth=gt, **kw)
+            return out.color, out.depth[0]
+        return jax.jacfwd(render_of_xi)(jnp.zeros((6,), jnp.float32))
+
+    def rel(got, want):
+        g, wt = np.asarray(got), np.asarray(jnp.moveaxis(want, -1, 0))
+        overall = np.linalg.norm(g - wt) / np.linalg.norm(wt)
+        per_tw = [np.linalg.norm(g[k] - wt[k])
+                  / max(np.linalg.norm(wt[k]), 1e-12) for k in range(6)]
+        return overall, max(per_tw)
+
+    light = jac_of(CFG)
+    assert rel(j.color, light[0])[0] < 1e-3
+    assert rel(j.depth, light[1])[0] < 1e-3
+
+    full = jac_of(CFG.replace(pose_cov2d_branch=True))
+    for got, want, name in ((j.color, full[0], "color"),
+                            (j.depth, full[1], "depth")):
+        overall, worst = rel(got, want)
+        # nonzero (the test can detect the branch) and bounded (the
+        # documented approximation error of "exact GN")
+        assert 0.02 < overall < 0.25, (name, overall)
+        assert worst < 0.6, (name, worst)
+
+
 def test_pose_jvp_overflow_reported():
     """rasterize_with_pose_jvp under an undersized instance budget must
     report overflow (never a silent cap), like rasterize."""

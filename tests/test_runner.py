@@ -4,6 +4,7 @@ variants are covered by test_sharding.py)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from diff_gaussian_rasterization_tpu.camera import Camera
 from diff_gaussian_rasterization_tpu.config import RasterConfig
@@ -152,6 +153,85 @@ def test_run_slam_mesh_matches_single_device():
     ate1 = ate_rmse(s1.est_views, [jnp.asarray(v) for v in gt_views])
     ate2 = ate_rmse(s2.est_views, [jnp.asarray(v) for v in gt_views])
     assert abs(ate1 - ate2) < 2e-3, (ate1, ate2)
+
+
+@pytest.mark.quick
+def test_slam_loop_minimal_quick():
+    """Minimal end-to-end slam_step coverage for the pre-commit tier: init,
+    one tracked frame, one keyframe+mapping frame, finite outputs.  Tiny on
+    purpose (the full loops are exercised by the long-tier tests above)."""
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        init_slam, slam_step,
+    )
+
+    h, w = 24, 32
+    cam = Camera(viewmatrix=jnp.eye(4), tanfovx=0.7, tanfovy=0.55,
+                 height=h, width=w)
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=256, n=256, seed=3)
+    views = orbit_trajectory(3)
+    frames = render_sequence(gt_model, views, cam, cfg)
+    scfg = SLAMConfig(
+        raster=cfg, tracking=TrackingConfig(iters=2, sil_threshold=0.5),
+        mapping=MappingConfig(iters=2), capacity=1024, keyframe_every=2,
+        map_every=2, window=2, seed_every_px=4, init_iters=2,
+        motion_model=False,
+    )
+    state = init_slam(jnp.asarray(views[0]), frames[0], cam, scfg)
+    state, loss1 = slam_step(state, frames[1], cam, scfg, 1)
+    state, loss2 = slam_step(state, frames[2], cam, scfg, 2)  # kf + map
+    assert np.isfinite(loss1) and np.isfinite(loss2)
+    assert len(state.est_views) == 3 and len(state.kf_views) == 2
+    for v in state.est_views:
+        assert np.all(np.isfinite(np.asarray(v)))
+    assert int(state.model.num_active) > 0
+
+
+def test_slam_rebudgets_when_scene_outgrows_instance_budget():
+    """The SLAM loop must react to the instance budget filling up: when a
+    keyframe render's true instance count crosses 80% of ``max_instances``,
+    the budget regrows (2.5x, like init_slam's sizing) BEFORE any render
+    actually overflows — so the trajectory matches an oversized-budget run
+    exactly (the budget only sizes masked padding until instances drop)."""
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        init_slam, slam_step,
+    )
+
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=512, n=512, seed=2)
+    views = orbit_trajectory(5)
+    frames = render_sequence(gt_model, views, CAM_T, cfg)
+    scfg = SLAMConfig(
+        raster=cfg, tracking=TrackingConfig(iters=4, sil_threshold=0.5),
+        mapping=MappingConfig(iters=4), capacity=2048, keyframe_every=2,
+        map_every=2, window=2, seed_every_px=3, init_iters=10,
+        motion_model=False,
+    )
+
+    def run(shrink_to):
+        state = init_slam(jnp.asarray(views[0]), frames[0], CAM_T, scfg)
+        budgets = [state.raster.max_instances]
+        for i in range(1, 5):
+            if shrink_to and i == 2:
+                # simulate a scene that has outgrown its boot-time budget:
+                # still >= the true count (~2.4k on this scene), but past
+                # the 80% reaction threshold at the next keyframe
+                state.raster = state.raster.replace(
+                    max_instances=shrink_to)
+            state, _ = slam_step(state, frames[i], CAM_T, scfg, i)
+            budgets.append(state.raster.max_instances)
+        return state, budgets
+
+    base, b_budgets = run(shrink_to=0)
+    tight, t_budgets = run(shrink_to=2560)
+
+    # the reaction fired at the frame-2 keyframe and regrew the budget
+    assert t_budgets[2] > 2560, t_budgets
+    # never actually overflowed -> bit-comparable trajectory
+    for i, (a, b) in enumerate(zip(base.est_views, tight.est_views)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+            err_msg=f"frame {i} diverged after re-budget")
 
 
 def test_slam_session_checkpoint_resume(tmp_path):

@@ -5,6 +5,7 @@ densify + uncertainty outputs) in miniature, CPU-sized.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -141,6 +142,7 @@ def test_densify_clone_and_split():
     assert float(dstate2.grad_accum.max()) == 0.0
 
 
+@pytest.mark.quick
 def test_track_frame_is_jit_stable():
     model, views, frames = make_world(n=128, capacity=128)
     tcfg = TrackingConfig(iters=3)
