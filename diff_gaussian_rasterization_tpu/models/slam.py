@@ -446,22 +446,54 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
     - tile-sharded rendering over ``tile_axis``;
     - Gaussian-map sharding over ``map_axis`` via frustum gather_visible
       (gradients reduce-scatter back to the owning shards through the
-      all_gather transpose).  kf- and map-sharding are mutually exclusive
-      in one step (they would need nested shard_maps); the runner asserts
-      this.
+      all_gather transpose);
+    - kf x map COMPOSED in one step (both axes > 1): one shard_map spans
+      both axes — per-frame frustum gathers ride the map axis, keyframe
+      gradients psum over the kf axis
+      (parallel.sharded.sharded_kf_map_value_and_grad).
     """
     opt = make_map_optimizer(mcfg)
     params = model_params(model)
     zeros2d = jnp.zeros_like(model.means3D[:, :2])
     kf_sharded = (mesh is not None and kf_axis in (mesh.axis_names or ())
                   and mesh.shape[kf_axis] > 1)
+    map_sharded = (mesh is not None and map_axis is not None
+                   and mesh.shape[map_axis] > 1)
     mk = _mesh_kw(mesh, tile_axis)
 
     def cam_of(view):
         return Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
                       height=height, width=width)
 
-    if kf_sharded:
+    if kf_sharded and map_sharded:
+        from ..parallel.sharded import sharded_kf_map_value_and_grad
+
+        budget = map_budget or model.capacity // mesh.shape[map_axis]
+
+        def loss_one_g(gathered, valid, view, rgb, depth, wt):
+            m = model.replace(
+                **{kk: gathered[kk] for kk in PARAM_FIELDS},
+                active=gathered["active"] & valid)
+            out = render_model(m, cam_of(view), cfg, gt_depth=depth,
+                               means2D=gathered["__means2d"],
+                               track_off=True)
+            return wt * rgbd_loss(out, Frame(rgb, depth), mcfg.w_color,
+                                  mcfg.w_depth)
+
+        vag = sharded_kf_map_value_and_grad(
+            loss_one_g, mesh, kf_axis, map_axis, budget_per_shard=budget,
+            near=cfg.near)
+        loss, grads, _ = vag({**params, "__means2d": zeros2d},
+                             {"active": model.active},
+                             views, rgbs, depths, wts)
+        g2d = grads.pop("__means2d")
+        # radii index the gathered working set, not global slots; received
+        # screen gradient is the global visibility proxy (as the map-only
+        # path; per-Gaussian uncertainty stats would need an inverse
+        # gather — SLAMConfig rejects uncertainty_prune with map sharding)
+        gau_u = gau_np = None
+        visible = jnp.abs(g2d).sum(-1) > 0
+    elif kf_sharded:
         from ..parallel.sharded import sharded_value_and_grad
 
         def loss_one(p, view, rgb, depth, wt):
@@ -564,8 +596,6 @@ def mapping_round(model, opt_state, dstate, keyframes, cfg, mcfg, cam_t,
     kf_sharded = (mesh is not None and kf_axis in (mesh.axis_names or ())
                   and mesh.shape[kf_axis] > 1)
     if kf_sharded:
-        assert map_axis is None, (
-            "kf- and map-sharding cannot combine in one mapping step")
         nd = mesh.shape[kf_axis]
         pad = (-n) % nd
         if pad:

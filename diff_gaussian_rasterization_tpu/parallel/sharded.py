@@ -260,6 +260,93 @@ def sharded_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
     return pinned
 
 
+def sharded_kf_map_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
+                                  kf_axis: str = "kf",
+                                  map_axis: str = "map", *,
+                                  budget_per_shard: int,
+                                  near: float = 0.2, n_extra: int = 1):
+    """Keyframe x Gaussian-map sharding composed in ONE mapping step.
+
+    The north-star topology (big map x many keyframes): ``params`` (dict of
+    per-Gaussian float arrays, leading dim P with P % n_map == 0) live
+    sharded over ``map_axis``; the keyframe batch (``views, rgbs, depths,
+    *extra``) is data-parallel over ``kf_axis``.  One shard_map spans both
+    axes: each device frustum-tests its map shard against each of its local
+    frames, compacts to ``budget_per_shard`` slots, and ``all_gather``s the
+    survivors across its *map row*; gradients return to the owning shard
+    through the all_gather transpose (a psum_scatter over ``map_axis``) and
+    keyframe contributions are psum'd over ``kf_axis``.
+
+    Within a map row every device renders the same gathered working set, so
+    each local loss is scaled by 1/n_map — that makes the both-axis loss
+    psum exact AND cancels the n_map-fold cotangent duplication the
+    all_gather transpose would otherwise introduce.
+
+    ``loss_one_frame(gathered, valid, view, rgb, depth, *extra_i) ->
+    scalar``; ``consts`` is a second dict of non-differentiable per-Gaussian
+    arrays (e.g. the ``active`` mask) gathered alongside ``params``.
+    ``extra[0]`` must be the per-frame weights; the result is normalized by
+    their global sum (pad windows with weight 0).
+
+    Returns ``f(params, consts, views, rgbs, depths, *extra) ->
+    (loss, grads, overflow)``.
+    """
+    nm = mesh.shape[map_axis]
+
+    def local(params, consts, views, rgbs, depths, *extra):
+        k = views.shape[0]
+        wts = extra[0]
+
+        def gather(prm, view):
+            means = prm["means3D"]
+            z = means @ view[:3, 2] + view[3, 2]
+            vis = z > near
+            count = jnp.sum(vis)
+            order = jnp.argsort(~vis, stable=True)[:budget_per_shard]
+            valid = (jnp.arange(budget_per_shard)
+                     < jnp.minimum(count, budget_per_shard))
+            picked = {kk: v[order] for kk, v in prm.items()}
+            gathered = {kk: jax.lax.all_gather(v, map_axis, tiled=True)
+                        for kk, v in picked.items()}
+            valid_g = jax.lax.all_gather(valid, map_axis, tiled=True)
+            return gathered, valid_g, (count > budget_per_shard)
+
+        def batch_loss(p):
+            total = 0.0
+            ovf = jnp.zeros((), jnp.int32)
+            for i in range(k):  # local keyframes; k static per shard
+                gathered, valid_g, o = gather({**p, **consts}, views[i])
+                total = total + loss_one_frame(
+                    gathered, valid_g, views[i], rgbs[i], depths[i],
+                    *(e[i] for e in extra))
+                ovf = jnp.maximum(ovf, o.astype(jnp.int32))
+            return total / nm, ovf
+
+        (loss, ovf), grads = jax.value_and_grad(
+            batch_loss, has_aux=True)(params)
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(wts), kf_axis), 1e-9)
+        loss = jax.lax.psum(loss, (kf_axis, map_axis)) / denom
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, kf_axis) / denom, grads)
+        overflow = jax.lax.pmax(ovf, (kf_axis, map_axis))
+        return loss, grads, overflow
+
+    # check_rep off: tiled all_gather + value_and_grad inside the body; the
+    # varying-axes checker cannot type this (same reason as gather_visible)
+    f = shard_map_fn(
+        local, mesh,
+        in_specs=(P(map_axis), P(map_axis)) + (P(kf_axis),) * (3 + n_extra),
+        out_specs=(P(), P(map_axis), P()), check_rep=False,
+    )
+
+    def pinned(params, consts, *batched):
+        return f(_pin(mesh, P(map_axis), params),
+                 _pin(mesh, P(map_axis), consts),
+                 *[_pin(mesh, P(kf_axis), b) for b in batched])
+
+    return pinned
+
+
 def make_sharded_jvp_core(mesh: Mesh, axis: str, jvp_impl, *,
                           tiles_x: int, cfg: RasterConfig, **kw):
     """Tile-axis sharding for the dual-forward (pose-jvp) core.

@@ -195,6 +195,64 @@ def test_keyframe_sharded_grads_match():
                                    rtol=1e-4, atol=1e-6, err_msg=kk)
 
 
+def test_kf_x_map_composed_mapping_step_matches_single_device():
+    """BOTH sharding axes > 1 in ONE mapping step (VERDICT r2 item 5 /
+    north-star topology: big map x many keyframes): mapping_round on a
+    (kf=2, map=4) mesh must match the single-device run — per-frame
+    frustum gathers ride the map axis inside the same shard_map whose kf
+    axis data-parallelizes the keyframes."""
+    from diff_gaussian_rasterization_tpu.io.synthetic import (
+        orbit_trajectory, random_room_model, render_sequence,
+    )
+    from diff_gaussian_rasterization_tpu.models.gaussians import DensifyState
+    from diff_gaussian_rasterization_tpu.models.slam import (
+        MappingConfig, make_map_optimizer, mapping_round, model_params,
+    )
+
+    h, w = 40, 56
+    cam_t = Camera(viewmatrix=jnp.eye(4), tanfovx=0.7, tanfovy=0.55,
+                   height=h, width=w)
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=512, n=512, seed=0)
+    views = orbit_trajectory(4)
+    frames = render_sequence(gt_model, views, cam_t, cfg)
+    # a slightly corrupted copy to optimize back toward the renders
+    rng = np.random.RandomState(3)
+    start = gt_model.replace(
+        sh=gt_model.sh + jnp.asarray(
+            rng.normal(scale=0.15, size=gt_model.sh.shape), jnp.float32),
+        opacities_logit=gt_model.opacities_logit - 0.5,
+    )
+    kf = (jnp.stack([views[0], views[2], views[3]]),
+          jnp.stack([frames[i].rgb for i in (0, 2, 3)]),
+          jnp.stack([frames[i].depth for i in (0, 2, 3)]))
+    mcfg = MappingConfig(iters=3)
+
+    def run(mesh, map_axis):
+        opt = make_map_optimizer(mcfg)
+        model, opt_state, dstate, loss = mapping_round(
+            start, opt.init(model_params(start)),
+            DensifyState.zero(start.capacity), kf, cfg, mcfg, cam_t,
+            jax.random.PRNGKey(0), mesh=mesh, kf_axis="kf",
+            tile_axis="tile", map_axis=map_axis,
+            map_budget=512 // 4)
+        return model, float(loss)
+
+    m1, l1 = run(None, None)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    m2, l2 = run(jax.sharding.Mesh(devs, ("kf", "map")), "map")
+
+    # the composed step pads the 3-frame window to 4 (weight 0) and
+    # reorders Gaussians through the gather; results must still agree to
+    # collective-summation tolerance
+    assert abs(l1 - l2) < 1e-5, (l1, l2)
+    for f in ("means3D", "sh", "opacities_logit", "scales_log",
+              "rotations"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m1, f)), np.asarray(getattr(m2, f)),
+            rtol=1e-4, atol=1e-5, err_msg=f)
+
+
 def test_pose_graph_refine_sharded_matches_single_device():
     # north-star: keyframe pose-graph refinement over collectives — the
     # edge-sharded psum'd normal equations must match the single-device
