@@ -78,6 +78,53 @@ def apply_twist(viewmatrix, xi):
     return viewmatrix @ exp_se3(xi).T
 
 
+def quat_mul(a, b):
+    """Hamilton product of (..., 4) quaternions in (r, x, y, z) order."""
+    ar, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    br, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        ar * br - ax * bx - ay * by - az * bz,
+        ar * bx + ax * br + ay * bz - az * by,
+        ar * by - ax * bz + ay * br + az * bx,
+        ar * bz + ax * by - ay * bx + az * br,
+    ], -1)
+
+
+def quat_from_rotmat(m):
+    """(..., 3, 3) rotation matrix -> (..., 4) unit quaternion (r, x, y, z).
+
+    Branch-free Shepperd selection (the four squared components from the
+    diagonal, signs from the off-diagonals, pick the largest for stability)
+    so it vectorizes over leading axes under jit.
+    """
+    m00, m11, m22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+    # candidate quaternions, one per dominant component (each valid when its
+    # pivot is the largest; unnormalized)
+    qr = jnp.stack([1.0 + tr,
+                    m[..., 2, 1] - m[..., 1, 2],
+                    m[..., 0, 2] - m[..., 2, 0],
+                    m[..., 1, 0] - m[..., 0, 1]], -1)
+    qx = jnp.stack([m[..., 2, 1] - m[..., 1, 2],
+                    1.0 + m00 - m11 - m22,
+                    m[..., 0, 1] + m[..., 1, 0],
+                    m[..., 0, 2] + m[..., 2, 0]], -1)
+    qy = jnp.stack([m[..., 0, 2] - m[..., 2, 0],
+                    m[..., 0, 1] + m[..., 1, 0],
+                    1.0 - m00 + m11 - m22,
+                    m[..., 1, 2] + m[..., 2, 1]], -1)
+    qz = jnp.stack([m[..., 1, 0] - m[..., 0, 1],
+                    m[..., 0, 2] + m[..., 2, 0],
+                    m[..., 1, 2] + m[..., 2, 1],
+                    1.0 - m00 - m11 + m22], -1)
+    pivots = jnp.stack([tr, m00, m11, m22], -1)
+    best = jnp.argmax(pivots, axis=-1)
+    q = jnp.stack([qr, qx, qy, qz], -2)   # (..., 4 candidates, 4)
+    q = jnp.take_along_axis(q, best[..., None, None].repeat(4, -1),
+                            axis=-2)[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
 def orthonormalize_view(viewmatrix):
     """Project the rotation block of a row-convention view matrix back onto
     SO(3) (for direct-matrix optimization, which drifts off the manifold)."""

@@ -45,8 +45,8 @@ class SLAMConfig:
     #   kf_axis:   data-parallel mapping over keyframes (grad psum)
     #   tile_axis: tile-sharded rendering in tracking and mapping
     #   map_axis:  Gaussian-map sharding with per-frame frustum
-    #              gather_visible (kf_axis and map_axis are mutually
-    #              exclusive within one mapping step)
+    #              gather_visible; composes with kf_axis in one mapping
+    #              step (one shard_map over both axes)
     # and routes keyframe pose-graph refinement through the edge-sharded
     # collective solver (parallel.sharded.refine_poses_sharded) instead of
     # the native C++ one.
@@ -55,6 +55,11 @@ class SLAMConfig:
     tile_axis: str = "tile"
     map_axis: object = None
     map_budget_per_shard: int = 0   # 0 = capacity / n_map_shards
+    # Re-anchor map Gaussians after pose-graph corrections: each Gaussian
+    # inherits the SE(3) correction of its nearest (pre-correction) keyframe,
+    # so a map built from drifted poses moves WITH the corrected trajectory
+    # instead of ghosting against post-correction observations.
+    reanchor: bool = True
     # --- pose-graph refinement measurements ---
     # Odometry edges alone are consistent with the current chain (zero
     # residual), so refinement needs independent measurements: each
@@ -66,11 +71,9 @@ class SLAMConfig:
 
     def __post_init__(self):
         if self.mesh is not None and self.map_axis is not None:
-            kf_on = (self.kf_axis in self.mesh.axis_names
-                     and self.mesh.shape[self.kf_axis] > 1)
-            assert not kf_on, (
-                "kf_axis and map_axis sharding cannot combine in one "
-                "mapping step (nested shard_map)")
+            # kf x map compose in ONE mapping step (one shard_map over both
+            # axes, parallel.sharded.sharded_kf_map_value_and_grad); only
+            # the uncertainty statistics are incompatible with map sharding
             assert self.mapping.uncertainty_prune == 0, (
                 "uncertainty_prune needs global per-Gaussian stats, which "
                 "a map-sharded render cannot produce (the gathered rows "
@@ -370,6 +373,11 @@ def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None,
     refined = [np.asarray(v, np.float64) for v in refined]
     state.kf_views = [jnp.asarray(v, jnp.float32) for v in refined]
 
+    # move map content WITH the corrected keyframes (see reanchor_map);
+    # bare-state calls (scfg=None) default to re-anchoring too
+    if scfg is None or scfg.reanchor:
+        state.model = reanchor_map(state.model, old, refined)
+
     # trajectory update: correction of the latest preceding keyframe
     if state.kf_idx and state.est_views:
         corr = [np.linalg.inv(o) @ r for o, r in zip(old, refined)]
@@ -381,6 +389,50 @@ def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None,
             state.est_views[f] = jnp.asarray(
                 lie.orthonormalize_view(jnp.asarray(v, jnp.float32)))
     return state
+
+
+def reanchor_map(model: GaussianModel, old_views, new_views):
+    """Transform map Gaussians by their anchor keyframe's pose correction.
+
+    After ``refine_keyframes`` moves keyframe poses, Gaussians created from
+    the old poses are inconsistent with the corrected trajectory — on real
+    loop closures this ghosts the map (the reference ships no mapping layer
+    at all; CG-SLAM anchors map content to keyframes the same way).  Each
+    active Gaussian is assigned to its nearest old keyframe camera center
+    and moved so its *camera-frame* coordinates under that keyframe are
+    preserved: row-convention ``[p', 1] = [p, 1] @ V_old @ inv(V_new)``.
+    Covariances rotate along: ``R' = A @ R(q)`` with ``A`` the world-space
+    rotation of the correction, applied as a quaternion composition
+    (exact for unit quaternions; for the reference's unnormalized-quat
+    convention the error is O((1 - |q|^2) * |correction|), second-order
+    small for the near-unit quats mapping produces).
+
+    Returns the re-anchored model (inactive slots untouched).
+    """
+    from . import lie
+
+    old = jnp.stack([jnp.asarray(v, jnp.float32) for v in old_views])
+    new = jnp.stack([jnp.asarray(v, jnp.float32) for v in new_views])
+    # [p,1] @ V_old = [p',1] @ V_new  =>  M_k = V_old_k @ inv(V_new_k)
+    corr = old @ jnp.linalg.inv(new)                        # [K, 4, 4]
+    # camera centers of the OLD poses (row convention: 0 = c @ V[:3,:3]
+    # + V[3,:3], rotation block orthonormal after refinement)
+    centers = -jnp.einsum("kj,kij->ki", old[:, 3, :3],
+                          old[:, :3, :3])                   # [K, 3]
+    d2 = jnp.sum((model.means3D[:, None, :] - centers[None]) ** 2, -1)
+    anchor = jnp.argmin(d2, axis=1)                          # [P]
+    mg = corr[anchor]                                        # [P, 4, 4]
+    means_new = (jnp.einsum("pi,pij->pj", model.means3D, mg[:, :3, :3])
+                 + mg[:, 3, :3])
+    # column-vector world rotation of the correction: p'_col = A p_col + b
+    a_rot = jnp.swapaxes(mg[:, :3, :3], 1, 2)
+    q_corr = lie.quat_from_rotmat(a_rot)
+    quats_new = lie.quat_mul(q_corr, model.rotations)
+    act = model.active
+    return model.replace(
+        means3D=jnp.where(act[:, None], means_new, model.means3D),
+        rotations=jnp.where(act[:, None], quats_new, model.rotations),
+    )
 
 
 def save_slam(path: str, state: SLAMState):

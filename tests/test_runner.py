@@ -155,6 +155,132 @@ def test_run_slam_mesh_matches_single_device():
     assert abs(ate1 - ate2) < 2e-3, (ate1, ate2)
 
 
+def test_reanchor_map_global_rigid_exact():
+    """A single global SE(3) correction applied to every keyframe must move
+    the map so renders are preserved exactly: render(new pose, re-anchored
+    map) == render(old pose, old map) — camera-frame geometry (and the
+    quaternion-rotated covariances) are invariant under re-anchoring."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.models.runner import reanchor_map
+    from diff_gaussian_rasterization_tpu.models.slam import render_model
+
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=512, n=512, seed=1)
+    views = [v for v in orbit_trajectory(3)]
+    xi = jnp.asarray([0.05, -0.04, 0.03, 0.06, -0.05, 0.04], jnp.float32)
+    # a WORLD-frame rigid remap shared by all keyframes (apply_twist would
+    # left-apply in each camera's frame — a different world correction per
+    # keyframe): V_new = inv(E) @ V_old gives correction M_k = E globally
+    e_row = lie.exp_se3(xi).T
+    e_inv = jnp.linalg.inv(e_row)
+    new_views = [e_inv @ v for v in views]
+    m2 = reanchor_map(gt_model, views, new_views)
+
+    def cam(v):
+        return Camera(viewmatrix=v, tanfovx=0.7, tanfovy=0.55,
+                      height=H, width=W)
+
+    for i in (0, 2):
+        a = render_model(gt_model, cam(views[i]), cfg)
+        b = render_model(m2, cam(new_views[i]), cfg)
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                                   atol=2e-4)
+
+
+def test_reanchor_fixes_map_built_from_drifted_pose():
+    """Inject drift the way it happens in the wild: the last keyframe's pose
+    is wrong AND the map content observed from it was placed using that
+    wrong pose.  Pose-graph refinement corrects the keyframe; with
+    ``reanchor=True`` the map must follow whatever correction refinement
+    achieves so mapping continues without ghosting.  The ghost-free
+    invariant (independent of how much of the injected drift the
+    measurement-based solver actually removes): every Gaussian's
+    coordinates in its anchor keyframe's CAMERA frame are preserved
+    through refine+reanchor; without reanchor the poses move but the map
+    does not, breaking that consistency."""
+    import copy
+    import dataclasses
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        reanchor_map, refine_keyframes,
+    )
+
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=768, n=768, seed=0)
+    views = orbit_trajectory(9)
+    frames = render_sequence(gt_model, views, CAM_T, cfg)
+    scfg = SLAMConfig(
+        raster=cfg, tracking=TrackingConfig(iters=10, sil_threshold=0.5),
+        mapping=MappingConfig(iters=15), capacity=4096, keyframe_every=2,
+        map_every=2, window=2, seed_every_px=2, init_iters=60,
+        motion_model=False,
+    )
+    data = list(zip([np.asarray(v) for v in views], frames))
+    state, _ = run_slam(data, scfg, CAM_T)
+    clean_means = np.asarray(state.model.means3D)
+    act = np.asarray(state.model.active)
+
+    # corrupt: last keyframe pose drifted by xi, and the Gaussians anchored
+    # to it placed as if backprojected from the drifted pose
+    xi = jnp.asarray([0.03, -0.02, 0.015, 0.02, -0.015, 0.02], jnp.float32)
+    pert = lie.apply_twist(state.kf_views[-1], xi)
+    pert_views = list(state.kf_views)
+    pert_views[-1] = pert
+
+    def corrupt():
+        bad = copy.copy(state)
+        bad.kf_views = list(pert_views)
+        bad.est_views = list(state.est_views)
+        bad.est_views[-1] = lie.apply_twist(bad.est_views[-1], xi)
+        bad.model = reanchor_map(state.model, state.kf_views, pert_views)
+        return bad
+
+    err_corrupt = float(np.linalg.norm(
+        np.asarray(corrupt().model.means3D) - clean_means, axis=1)[act]
+        .mean())
+    assert err_corrupt > 1e-3  # the corruption moved real mass
+
+    # anchor assignment at the PRE-refinement poses (what refine_keyframes'
+    # reanchor uses): nearest keyframe camera center, row convention
+    kv = np.stack([np.asarray(v) for v in pert_views])
+    centers = -np.einsum("kj,kij->ki", kv[:, 3, :3], kv[:, :3, :3])
+    pts = np.asarray(corrupt().model.means3D)
+    anchor = np.argmin(
+        ((pts[:, None, :] - centers[None]) ** 2).sum(-1), axis=1)
+
+    def cam_coords(model, views_list):
+        v = np.stack([np.asarray(x) for x in views_list])[anchor]
+        return np.einsum("pi,pij->pj", np.asarray(model.means3D),
+                         v[:, :3, :3]) + v[:, 3, :3]
+
+    c0 = cam_coords(corrupt().model, pert_views)
+    fixed = refine_keyframes(corrupt(), scfg, CAM_T)
+    no_re = refine_keyframes(
+        corrupt(), dataclasses.replace(scfg, reanchor=False), CAM_T)
+
+    # refinement moved the corrupted keyframe back toward truth
+    kf_err = float(jnp.abs(fixed.kf_views[-1] - state.kf_views[-1]).max())
+    pert_err = float(jnp.abs(pert - state.kf_views[-1]).max())
+    assert kf_err < 0.75 * pert_err, (kf_err, pert_err)
+
+    # ghost-free invariant: camera-frame geometry preserved through
+    # refine+reanchor (to float32 transform tolerance) ...
+    c_fixed = cam_coords(fixed.model, fixed.kf_views)
+    dev_fixed = float(np.abs(c_fixed - c0)[act].max())
+    assert dev_fixed < 1e-5, dev_fixed
+    # ... and broken without reanchor: map stayed put while poses moved,
+    # by about the size of the applied corrections
+    corr_mag = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(no_re.kf_views, pert_views))
+    c_no_re = cam_coords(no_re.model, no_re.kf_views)
+    dev_no_re = float(np.abs(c_no_re - c0)[act].max())
+    assert dev_no_re > 10 * dev_fixed, (dev_no_re, dev_fixed)
+    assert dev_no_re > 0.1 * corr_mag, (dev_no_re, corr_mag)
+
+
 @pytest.mark.quick
 def test_slam_loop_minimal_quick():
     """Minimal end-to-end slam_step coverage for the pre-commit tier: init,
