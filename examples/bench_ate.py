@@ -1,0 +1,123 @@
+"""Hard synthetic ATE benchmark: Replica-class procedural sequence.
+
+Real Replica/TUM data cannot be downloaded in this environment (zero
+egress), so this is the committed proxy for CG-SLAM's ~0.3 cm Replica
+ATE claim (reference README.md:96-103 cites the paper; the repo itself
+publishes no numbers): a procedurally generated room at real scale —
+textured walls + occluding furniture, 320x240, >=100 frames with
+rotation-dominant pan segments, sensor noise on RGB and depth — tracked
+and mapped by the full SLAM loop (exact-GN tracking via the dual-render
+Jacobian, keyframed mapping, measurement-based pose-graph refinement).
+
+Prints ONE JSON line: {"metric": "ate_rmse_cm", "value": ...} plus
+context fields.  Defaults target the single TPU chip; --cpu with reduced
+--frames/--res runs the identical path on CPU (the long-tier test does).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--res", default="240x320")
+    ap.add_argument("--wall-res", type=int, default=56)
+    ap.add_argument("--method", default="gn",
+                    choices=["gn", "gn_fd", "adam"])
+    ap.add_argument("--track-iters", type=int, default=10)
+    ap.add_argument("--map-iters", type=int, default=15)
+    # tuned on the toy-scale sweep (see BASELINE.md round-3 notes): dense
+    # keyframing bounds inter-keyframe drift; depth-heavy tracking loss
+    # disambiguates rotation/translation during pan segments
+    ap.add_argument("--kf-every", type=int, default=3)
+    ap.add_argument("--track-w-depth", type=float, default=1.5)
+    ap.add_argument("--capacity", type=int, default=120_000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--rgb-noise", type=float, default=0.01)
+    ap.add_argument("--depth-noise", type=float, default=0.005)
+    ap.add_argument("--no-refine", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from diff_gaussian_rasterization_tpu.utils.compile_cache import (
+            enable_compile_cache)
+        enable_compile_cache()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diff_gaussian_rasterization_tpu.camera import Camera
+    from diff_gaussian_rasterization_tpu.config import RasterConfig
+    from diff_gaussian_rasterization_tpu.io.replica import ate_rmse
+    from diff_gaussian_rasterization_tpu.io.synthetic import (
+        render_sequence, replica_like_model, walkthrough_trajectory)
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        SLAMConfig, run_slam)
+    from diff_gaussian_rasterization_tpu.models.slam import (
+        MappingConfig, TrackingConfig)
+
+    h, w = (int(x) for x in args.res.split("x"))
+    t0 = time.time()
+    gt_model = replica_like_model(seed=args.seed, wall_res=args.wall_res)
+    views = walkthrough_trajectory(args.frames, seed=args.seed + 1)
+    cam_t = Camera(viewmatrix=views[0], tanfovx=0.82, tanfovy=0.62,
+                   height=h, width=w)
+    # ground-truth rendering tiles need not match the SLAM run's config
+    gt_cfg = RasterConfig(tile_h=8, tile_w=16, chunk=32,
+                          instance_multiplier=10)
+    frames = render_sequence(gt_model, views, cam_t, gt_cfg,
+                             rgb_noise=args.rgb_noise,
+                             depth_noise=args.depth_noise, seed=args.seed)
+    print(f"[ate +{time.time() - t0:5.1f}s] scene "
+          f"{int(gt_model.num_active)} gaussians, {args.frames} frames at "
+          f"{w}x{h}", file=sys.stderr, flush=True)
+
+    scfg = SLAMConfig(
+        raster=RasterConfig(tile_h=8, tile_w=16, chunk=32),
+        tracking=TrackingConfig(iters=args.track_iters, method=args.method,
+                                sil_threshold=0.85,
+                                w_depth=args.track_w_depth),
+        mapping=MappingConfig(iters=args.map_iters),
+        capacity=args.capacity,
+        keyframe_every=args.kf_every,
+        map_every=args.kf_every,
+        window=4,
+        seed_every_px=3,
+        init_iters=120,
+        pose_graph_refine=not args.no_refine,
+        refine_every=4,
+    )
+    data = list(zip([np.asarray(v) for v in views], frames))
+    t1 = time.time()
+    state, gt_views = run_slam(data, scfg, cam_t, verbose=True)
+    dt = time.time() - t1
+
+    gtv = [jnp.asarray(v) for v in gt_views]
+    ate_m = ate_rmse(state.est_views, gtv)
+    ate_static = ate_rmse([gtv[0]] * len(gtv), gtv)
+    print(json.dumps({
+        "metric": "ate_rmse_cm",
+        "value": round(100 * float(ate_m), 3),
+        "unit": "cm",
+        "ate_no_tracking_cm": round(100 * float(ate_static), 3),
+        "frames": len(gtv),
+        "res": f"{w}x{h}",
+        "gaussians_gt": int(gt_model.num_active),
+        "map_active": int(state.model.num_active),
+        "tracking": args.method,
+        "fps": round(len(gtv) / dt, 3),
+        "wall_s": round(dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,3 +180,78 @@ def test_tum_fixture_reader():
                                       "fixtures", "replica_mini", "office0"))
     for i in range(5):
         np.testing.assert_allclose(ds.pose(i), rds.pose(i), atol=2e-5)
+
+
+@pytest.mark.quick
+def test_replica_like_scene_and_walkthrough():
+    """Procedural Replica-class benchmark assets (examples/bench_ate.py):
+    the room generator must produce watertight textured surfaces with
+    occluders, and the walkthrough must stay inside the room at hand-held
+    speeds with rotation-dominant pan segments (eye frozen, gaze moving)."""
+    import jax
+    from diff_gaussian_rasterization_tpu.camera import Camera
+    from diff_gaussian_rasterization_tpu.config import RasterConfig
+    from diff_gaussian_rasterization_tpu.io.synthetic import (
+        replica_like_model, walkthrough_trajectory,
+    )
+    from diff_gaussian_rasterization_tpu.models.slam import render_model
+
+    ex = (2.0, 1.5, 2.5)
+    m = replica_like_model(wall_res=16, n_boxes=2, extent=ex)
+    n = int(m.num_active)
+    assert n > 1500
+    pts = np.asarray(m.means3D)[:n]
+    cols = np.asarray(jnp.clip(m.sh[:n, 0] * 0.28209479 + 0.5, 0, 1))
+    # grid jitter is up to 0.3 spacings past the nominal wall plane
+    for ax in range(3):
+        margin = 0.3 * 2 * ex[ax] / 16 + 1e-4
+        assert (np.abs(pts[:, ax]) <= ex[ax] + margin).all(), ax
+    assert cols.std() > 0.05  # textured, not flat
+
+    views = walkthrough_trajectory(48, extent=ex)
+    assert views.shape == (48, 4, 4)
+    v = np.asarray(views)
+    for k in (0, 17, 47):
+        r = v[k, :3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    eyes = -np.einsum("kj,kij->ki", v[:, 3, :3], v[:, :3, :3])
+    speed = np.linalg.norm(np.diff(eyes, axis=0), axis=1)
+    assert speed.max() < 0.05, speed.max()   # hand-held regime
+    assert (speed < 1e-6).any()              # pan segments freeze the eye
+    assert (speed > 1e-4).any()              # and the orbit does move
+
+    # an interior view must see mostly-covered, non-flat content
+    cam = Camera(viewmatrix=views[0], tanfovx=0.82, tanfovy=0.62,
+                 height=32, width=48)
+    cfg = RasterConfig(tile_h=8, tile_w=16, chunk=32,
+                       instance_multiplier=10)
+    out = render_model(m, cam, cfg)
+    sil = np.asarray(out.opacity_map[0])
+    assert (sil > 0.5).mean() > 0.7, (sil > 0.5).mean()
+    rgb = np.asarray(out.color)
+    assert rgb.std() > 0.03
+
+
+def test_ate_benchmark_procedural_sequence():
+    """The committed Replica-proxy ATE benchmark (examples/bench_ate.py)
+    end-to-end at CPU-affordable scale: full SLAM (exact-GN tracking,
+    keyframed mapping, pose-graph refinement) on the noisy procedural
+    walkthrough must beat the no-tracking baseline decisively and land in
+    the ~10 cm class even at 64x80 toy resolution (the chip config runs
+    240x320; see BASELINE.md)."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "examples",
+                          "bench_ate.py")
+    res = subprocess.run(
+        [sys.executable, script, "--cpu", "--frames", "20", "--res",
+         "64x80", "--wall-res", "24", "--capacity", "8192",
+         "--kf-every", "2"],
+        capture_output=True, text=True, timeout=1800)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "ate_rmse_cm"
+    assert rec["value"] < 16.0, rec
+    assert rec["value"] < 0.5 * rec["ate_no_tracking_cm"], rec
