@@ -131,6 +131,13 @@ class TrackingConfig:
     w_color: float = 1.0
     w_depth: float = 0.25
     sil_threshold: float = 0.99
+    # coarse-to-fine: track at 1/2^(L-1) ... 1/2, then full resolution.
+    # Classic direct-method robustness: a coarse level's convergence basin
+    # covers image motion 2^l times larger, and its renders cost 4^-l of
+    # full res, so large inter-frame motion (rotation-heavy segments) is
+    # absorbed before the full-res polish.  1 = off.
+    pyramid: int = 1
+    coarse_iters: int = 5   # iterations per coarse level
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -369,20 +376,53 @@ def _track_gn_fd_jit(model, view0, rgb, depth, cfg: RasterConfig,
     return lie.apply_twist(view0, best_xi), best_cost, costs
 
 
+def downsample_frame(frame: Frame, s: int) -> Frame:
+    """Mean-pool RGB by ``s``; depth pools only over valid (> 0) pixels so
+    sensor holes don't bleed zeros into the pooled depth."""
+    c, h, w = frame.rgb.shape
+    rgb = frame.rgb.reshape(c, h // s, s, w // s, s).mean((2, 4))
+    d = frame.depth.reshape(h // s, s, w // s, s)
+    v = (d > 0).astype(d.dtype)
+    nv = v.sum((1, 3))
+    depth = jnp.where(nv > 0, (d * v).sum((1, 3)) / jnp.maximum(nv, 1), 0.0)
+    return Frame(rgb=rgb, depth=depth)
+
+
 def track_frame(model: GaussianModel, view0, frame: Frame,
                 cfg: RasterConfig, tcfg: TrackingConfig,
                 camera_template: Camera, mesh=None, tile_axis="tile",
                 map_axis=None, map_budget: int = 0):
     """Pose-only optimization for one frame (reference §3.3 tracking step).
 
+    With ``tcfg.pyramid > 1``: coarse-to-fine — the pose is first converged
+    on mean-pooled half/quarter-res copies of the frame (same tanfov, so the
+    camera model is exactly the downsampled one), then polished at full
+    resolution.  Levels whose resolution the pooling cannot divide are
+    skipped.
+
     With a ``mesh``: renders tile-shard over ``tile_axis`` (if present with
     size > 1) and, when ``map_axis`` is set, frustum-gathers the visible
     subset of a map-sharded model first (visibility frozen at ``view0``)."""
     impl = {"gn": _track_gn_jit, "gn_fd": _track_gn_fd_jit}.get(
         tcfg.method, _track_jit)
+    h, w = camera_template.height, camera_template.width
+    view = view0
+    for lvl in range(max(tcfg.pyramid, 1) - 1, 0, -1):
+        s = 2 ** lvl
+        if h % s or w % s:
+            continue
+        tcfg_l = dataclasses.replace(tcfg, pyramid=1,
+                                     iters=tcfg.coarse_iters)
+        fl = downsample_frame(frame, s)
+        view, _, _ = impl(
+            model, view, fl.rgb, fl.depth, cfg, tcfg_l, h // s, w // s,
+            camera_template.tanfovx, camera_template.tanfovy,
+            mesh=mesh, tile_axis=tile_axis, map_axis=map_axis,
+            map_budget=map_budget,
+        )
     return impl(
-        model, view0, frame.rgb, frame.depth, cfg, tcfg,
-        camera_template.height, camera_template.width,
+        model, view, frame.rgb, frame.depth, cfg, tcfg,
+        h, w,
         camera_template.tanfovx, camera_template.tanfovy,
         mesh=mesh, tile_axis=tile_axis, map_axis=map_axis,
         map_budget=map_budget,

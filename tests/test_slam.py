@@ -150,3 +150,78 @@ def test_track_frame_is_jit_stable():
     v2, l2, _ = track_frame(model, views[1], frames[1], CFG, tcfg, CAM_T)
     assert np.all(np.isfinite(np.asarray(v1)))
     assert np.all(np.isfinite(np.asarray(v2)))
+
+
+@pytest.mark.quick
+def test_downsample_frame_valid_aware():
+    from diff_gaussian_rasterization_tpu.models.slam import downsample_frame
+
+    rgb = jnp.arange(2 * 4 * 8, dtype=jnp.float32).reshape(2, 4, 8) / 64.0
+    depth = jnp.asarray([[1.0, 0.0, 2.0, 2.0, 0.0, 0.0, 0.0, 0.0],
+                         [3.0, 0.0, 2.0, 2.0, 0.0, 0.0, 0.0, 0.0],
+                         [1.0, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 5.0],
+                         [1.0, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 5.0]])
+    f2 = downsample_frame(
+        __import__("diff_gaussian_rasterization_tpu.models.slam",
+                   fromlist=["Frame"]).Frame(rgb, depth), 2)
+    assert f2.rgb.shape == (2, 2, 4) and f2.depth.shape == (2, 4)
+    # rgb mean-pools every 2x2 window
+    np.testing.assert_allclose(
+        np.asarray(f2.rgb[0, 0, 0]), np.mean([0, 1, 8, 9]) / 64.0, rtol=1e-6)
+    # depth pools only over valid (> 0) pixels; all-invalid windows stay 0
+    np.testing.assert_allclose(np.asarray(f2.depth[0]), [2.0, 2.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(f2.depth[1]), [1.0, 1.0, 5.0, 5.0])
+
+
+def test_tracking_pyramid_recovers_pose():
+    """Coarse-to-fine tracking (pyramid=2): the coarse level must hand the
+    full-res level a pose it can polish — end accuracy in the same class as
+    single-level on a moderate perturbation, and strictly better than the
+    perturbation."""
+    model, views, frames = make_world()
+    true_view = views[1]
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.008, -0.01, 0.006])
+    view0 = lie.apply_twist(true_view, xi)
+    r0, t0 = pose_error(view0, true_view)
+
+    tcfg = TrackingConfig(iters=12, sil_threshold=0.95, pyramid=2,
+                          coarse_iters=5)
+    view_opt, best_loss, losses = track_frame(
+        model, view0, frames[1], CFG, tcfg, CAM_T)
+    r1, t1 = pose_error(view_opt, true_view)
+    assert r1 < r0 * 0.5, (r0, r1)
+    assert t1 < t0 * 0.5, (t0, t1)
+
+
+def test_tracking_pyramid_extends_convergence_basin():
+    """The pyramid's reason to exist: an ~18 px pan (0.24 rad at 96x128)
+    is outside single-level GN's basin but inside the half-res level's.
+    Measured A/B (see BASELINE.md round 3): pyr=1 leaves >0.1 rad error,
+    pyr=2 recovers to ~1e-3."""
+    from diff_gaussian_rasterization_tpu.io.synthetic import (
+        replica_like_model, walkthrough_trajectory,
+    )
+
+    h, w = 96, 128
+    cam_t = Camera(viewmatrix=jnp.eye(4), tanfovx=0.82, tanfovy=0.62,
+                   height=h, width=w)
+    cfg = RasterConfig(tile_h=8, tile_w=16, chunk=32,
+                       instance_multiplier=10)
+    model = replica_like_model(wall_res=32, n_boxes=4)
+    views = walkthrough_trajectory(3)
+    frames = render_sequence(model, views, cam_t, cfg)
+    true_view = views[1]
+    xi = jnp.asarray([0.02, 0.0, 0.02, 0.02, 0.24, 0.0], jnp.float32)
+    view0 = lie.apply_twist(true_view, xi)
+    r0, _ = pose_error(view0, true_view)
+
+    def run(pyr):
+        tcfg = TrackingConfig(iters=10, sil_threshold=0.85, w_depth=1.5,
+                              pyramid=pyr, coarse_iters=6)
+        v, _, _ = track_frame(model, view0, frames[1], cfg, tcfg, cam_t)
+        return pose_error(v, true_view)
+
+    r_flat, t_flat = run(1)
+    r_pyr, t_pyr = run(2)
+    assert r_pyr < 0.01 and t_pyr < 0.01, (r_pyr, t_pyr)
+    assert r_flat > 5 * r_pyr, (r_flat, r_pyr)  # flat stays lost
