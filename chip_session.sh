@@ -35,7 +35,9 @@ DGR_SCENE=room timeout 1200 python prof_ab.py chunk=128 >> "$LOG" 2>&1
 note "7. mapping bench"
 timeout 1200 python bench_mapping.py >> "$LOG" 2>&1
 
-note "8. hard synthetic ATE benchmark (Replica-class procedural sequence)"
-timeout 3000 python examples/bench_ate.py >> "$LOG" 2>&1
+note "8a. ATE benchmark, bounded run (warms every SLAM-loop compile)"
+timeout 2400 python examples/bench_ate.py --frames 30 >> "$LOG" 2>&1
+note "8b. ATE benchmark, full 120-frame sequence (warm cache)"
+timeout 3600 python examples/bench_ate.py >> "$LOG" 2>&1
 
 note "done"
