@@ -71,7 +71,10 @@ def main():
         if over[k] is None:
             over[k] = int(v) if v.isdigit() else float(v)
     scene = make_scene()
-    base = RasterConfig(tile_h=32, tile_w=32)
+    # baseline matches bench.py's config of record (MXU scans measured on
+    # chip round 3: 24.6 -> 22.7 ms, adopted as default)
+    base = RasterConfig(tile_h=32, tile_w=32,
+                        scan_sum_mm=True, scan_prod_mm=True)
     n_inst = int(count_instances(
         scene["means3D"],
         Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32),

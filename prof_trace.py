@@ -23,7 +23,9 @@ from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
     scene = make_scene()
-    cfg = RasterConfig(tile_h=32, tile_w=32)
+    # matches bench.py's config of record (incl. the MXU-scan default)
+    cfg = RasterConfig(tile_h=32, tile_w=32,
+                       scan_sum_mm=True, scan_prod_mm=True)
     view = jnp.eye(4, dtype=jnp.float32)
     kw_full = dict(opacities=scene["opacities"], scales=scene["scales"],
                    rotations=scene["rotations"],
