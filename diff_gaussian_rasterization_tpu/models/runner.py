@@ -40,6 +40,25 @@ class SLAMConfig:
     motion_model: bool = True   # constant-velocity tracking initialization
     pose_graph_refine: bool = False  # refine the keyframe chain at the end
     refine_every: int = 0       # also refine every N keyframes (0 = off)
+    # Coverage-triggered keyframing: if the fraction of valid-depth pixels
+    # whose rendered silhouette exceeds 0.5 drops below this, the camera has
+    # entered sparsely-mapped territory — insert a keyframe (seeding the
+    # holes) and run a mapping round IMMEDIATELY instead of waiting for the
+    # periodic schedule.  Rotation-dominant pans expose new territory much
+    # faster than translation does, and tracking quality is bounded by map
+    # coverage (the sil-masked loss constrains the pose only through mapped
+    # pixels).  0 disables (periodic-only keyframing).
+    kf_min_coverage: float = 0.0
+    # extra mapping iterations for a coverage-triggered round (0 = use
+    # mapping.iters): fresh territory starts as raw backprojected blobs and
+    # needs more optimization than a mature map's refresh round
+    coverage_map_iters: int = 0
+    # mapping-window selection: "random" = latest + uniform random older;
+    # "nearest" = latest + nearest older keyframes by camera pose (center
+    # distance + gaze angle) with one random anti-forgetting slot — in new
+    # territory the random window wastes most of its frames on views that
+    # don't see the immature region
+    window_select: str = "random"
     # --- distribution (BASELINE config 5: SLAM sharded over a mesh) ---
     # A jax.sharding.Mesh enables, per axis name present with size > 1:
     #   kf_axis:   data-parallel mapping over keyframes (grad psum)
@@ -216,14 +235,28 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
                                 map_budget=scfg.map_budget_per_shard)
     state.est_views.append(view)
 
-    if frame_idx % scfg.keyframe_every == 0:
+    kf_due = frame_idx % scfg.keyframe_every == 0
+    out = None
+    cov_trigger = False
+    if scfg.kf_min_coverage > 0 and not kf_due:
+        out = render_model(state.model, Camera(
+            viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
+            height=cam_t.height, width=cam_t.width), rcfg)
+        sil = np.asarray(out.opacity_map[0])
+        dv = np.asarray(frame.depth) > 0
+        cov = float((sil > 0.5)[dv].mean()) if dv.any() else 1.0
+        cov_trigger = cov < scfg.kf_min_coverage
+
+    if kf_due or cov_trigger:
         state.kf_views.append(view)
         state.kf_frames.append(frame)
         state.kf_idx.append(frame_idx)
         # seed unobserved regions: pixels with low silhouette
-        out = render_model(state.model, Camera(
-            viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
-            height=cam_t.height, width=cam_t.width), rcfg)
+        if out is None:
+            out = render_model(state.model, Camera(
+                viewmatrix=view, tanfovx=cam_t.tanfovx,
+                tanfovy=cam_t.tanfovy, height=cam_t.height,
+                width=cam_t.width), rcfg)
         # React to the instance budget filling up: ``num_rendered`` is the
         # TRUE (uncapped) count (ops/binning.py), so growing the budget when
         # a keyframe's view reaches 80% keeps the "overflow is reported,
@@ -254,24 +287,55 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
         # and adapts through subsequent mapping windows)
         state = refine_keyframes(state, scfg, cam_t)
 
-    if frame_idx % scfg.map_every == 0 and len(state.kf_views) >= 1:
+    if ((frame_idx % scfg.map_every == 0 or cov_trigger)
+            and len(state.kf_views) >= 1):
         # window: always the latest keyframe (anchors the map to the current
-        # viewpoint) + random older ones against forgetting
-        k = len(state.kf_views)
-        n_extra = min(scfg.window, k) - 1
-        older = np.random.RandomState(frame_idx).choice(
-            k - 1, size=min(n_extra, k - 1), replace=False) if k > 1 else []
-        idx = np.concatenate([[k - 1], older]).astype(int) if k > 1 \
-            else np.array([0])
+        # viewpoint) + older ones chosen per scfg.window_select
+        idx = _select_window(state, scfg, frame_idx)
         kviews = jnp.stack([state.kf_views[i] for i in idx])
         krgbs = jnp.stack([state.kf_frames[i].rgb for i in idx])
         kdepths = jnp.stack([state.kf_frames[i].depth for i in idx])
         state.rng, sub = jax.random.split(state.rng)
+        mcfg = scfg.mapping
+        if cov_trigger and scfg.coverage_map_iters > 0:
+            mcfg = dataclasses.replace(mcfg, iters=scfg.coverage_map_iters)
         state.model, state.opt_state, state.dstate, mloss = mapping_round(
             state.model, state.opt_state, state.dstate,
-            (kviews, krgbs, kdepths), rcfg, scfg.mapping, cam_t, sub,
+            (kviews, krgbs, kdepths), rcfg, mcfg, cam_t, sub,
             **_dist_kw(scfg))
     return state, float(loss)
+
+
+def _select_window(state: SLAMState, scfg: SLAMConfig,
+                   frame_idx: int) -> np.ndarray:
+    """Keyframe indices for one mapping round (latest always included)."""
+    k = len(state.kf_views)
+    n_extra = min(scfg.window, k) - 1
+    if k <= 1 or n_extra <= 0:
+        return np.array([k - 1])
+    rng = np.random.RandomState(frame_idx)
+    if scfg.window_select == "nearest":
+        # rank older keyframes by pose proximity to the current view:
+        # camera-center distance + gaze-direction penalty (row convention:
+        # center c = -t @ R^T, optical axis = column 2 of R)
+        views = np.stack([np.asarray(v, np.float64)
+                          for v in state.kf_views])
+        rot, t = views[:, :3, :3], views[:, 3, :3]
+        centers = -np.einsum("kj,kij->ki", t, rot)
+        axes = rot[:, :, 2]
+        score = (np.linalg.norm(centers[:-1] - centers[-1], axis=-1)
+                 + 2.0 * (1.0 - axes[:-1] @ axes[-1]))
+        order = np.argsort(score)
+        n_near = n_extra - 1 if n_extra >= 2 and k - 1 > n_extra else n_extra
+        older = list(order[:n_near])
+        rest = [i for i in range(k - 1) if i not in older]
+        if len(older) < n_extra and rest:
+            older += list(rng.choice(rest, size=min(n_extra - len(older),
+                                                    len(rest)),
+                          replace=False))
+    else:
+        older = rng.choice(k - 1, size=min(n_extra, k - 1), replace=False)
+    return np.concatenate([[k - 1], older]).astype(int)
 
 
 def run_slam(dataset, scfg: SLAMConfig, cam_t: Camera,

@@ -36,6 +36,14 @@ def main():
     # disambiguates rotation/translation during pan segments
     ap.add_argument("--kf-every", type=int, default=3)
     ap.add_argument("--track-w-depth", type=float, default=1.5)
+    # rotation-dominant pans expose new territory between periodic
+    # keyframes; coverage-triggered keyframing + overlap-based mapping
+    # windows bound the drift there (0 / "random" restore the round-3
+    # pre-fix behavior for A/Bs)
+    ap.add_argument("--kf-coverage", type=float, default=0.8)
+    ap.add_argument("--window-select", default="nearest",
+                    choices=["nearest", "random"])
+    ap.add_argument("--coverage-map-iters", type=int, default=0)
     ap.add_argument("--capacity", type=int, default=120_000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rgb-noise", type=float, default=0.01)
@@ -95,6 +103,9 @@ def main():
         init_iters=120,
         pose_graph_refine=not args.no_refine,
         refine_every=4,
+        kf_min_coverage=args.kf_coverage,
+        coverage_map_iters=args.coverage_map_iters,
+        window_select=args.window_select,
     )
     data = list(zip([np.asarray(v) for v in views], frames))
     t1 = time.time()

@@ -399,3 +399,71 @@ def test_slam_session_checkpoint_resume(tmp_path):
                                np.asarray(b.est_views[-1]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.model.means3D),
                                np.asarray(b.model.means3D), atol=1e-6)
+
+
+@pytest.mark.quick
+def test_coverage_triggered_keyframe_fires_on_unmapped_territory():
+    """A pan into unmapped territory must insert a keyframe + mapping round
+    via ``kf_min_coverage`` even when the periodic schedule wouldn't fire
+    (the round-3 drift fix: rotation-dominant segments expose new territory
+    between periodic keyframes)."""
+    from diff_gaussian_rasterization_tpu.camera import look_at
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        init_slam, slam_step,
+    )
+
+    h, w = 24, 32
+    cam = Camera(viewmatrix=jnp.eye(4), tanfovx=0.7, tanfovy=0.55,
+                 height=h, width=w)
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=512, n=512, seed=1)
+    eye = (0.0, 0.0, -0.5)
+    views = jnp.stack([look_at(eye, (0.0, 0.0, 2.0)),       # facing +z
+                       look_at(eye, (2.0, 0.0, 0.3))])      # ~80 deg pan
+    frames = render_sequence(gt_model, views, cam, cfg)
+
+    def run(min_cov):
+        scfg = SLAMConfig(
+            raster=cfg, tracking=TrackingConfig(iters=0),
+            mapping=MappingConfig(iters=2), capacity=2048,
+            keyframe_every=100, map_every=100, window=2, seed_every_px=3,
+            init_iters=2, motion_model=False, kf_min_coverage=min_cov,
+        )
+        state = init_slam(jnp.asarray(views[0]), frames[0], cam, scfg)
+        # perfect odometry stand-in (iters=0 keeps the tracked pose at
+        # est_views[-1]): the map, built from frame 0 only, covers little
+        # of view 1's frustum
+        state.est_views[-1] = views[1]
+        state, _ = slam_step(state, frames[1], cam, scfg, 1)
+        return state
+
+    trig = run(min_cov=0.9)
+    base = run(min_cov=0.0)
+    assert len(base.kf_views) == 1          # periodic schedule never fires
+    assert len(trig.kf_views) == 2          # coverage trigger inserted one
+    assert trig.kf_idx[-1] == 1
+    # the triggered keyframe seeded the unmapped territory
+    assert int(trig.model.num_active) > int(base.model.num_active)
+
+
+@pytest.mark.quick
+def test_select_window_nearest_prefers_overlapping_keyframes():
+    from diff_gaussian_rasterization_tpu.camera import look_at
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        SLAMState, _select_window,
+    )
+
+    # keyframes along a line; the latest (x=5) is nearest to x=4, then x=3
+    kf_views = [look_at((float(x), 0.0, 0.0), (float(x), 0.0, 2.0))
+                for x in [0, 1, 2, 3, 4, 5]]
+    state = SLAMState(model=None, opt_state=None, dstate=None,
+                      kf_views=kf_views, kf_frames=[None] * 6,
+                      est_views=[], rng=None)
+    scfg = SLAMConfig(window=3, window_select="nearest")
+    idx = _select_window(state, scfg, frame_idx=7)
+    assert idx[0] == 5                       # latest always anchors
+    assert 4 in idx                          # nearest older keyframe
+    assert len(set(idx)) == 3
+    scfg_r = SLAMConfig(window=3, window_select="random")
+    idx_r = _select_window(state, scfg_r, frame_idx=7)
+    assert idx_r[0] == 5 and len(set(idx_r)) == 3
