@@ -156,10 +156,16 @@ def replica_like_model(capacity=None, seed=0, extent=(2.0, 1.5, 2.5),
 
 
 def walkthrough_trajectory(n_frames: int, seed=0, extent=(2.0, 1.5, 2.5),
-                           rot_heavy=True, dtype=jnp.float32):
+                           rot_heavy=True, close_loop=False,
+                           dtype=jnp.float32):
     """A SLAM-style walkthrough inside the room: smooth translation arcs
     interleaved with rotation-dominant pan segments (the hard case for
-    direct tracking — large image motion with near-zero parallax)."""
+    direct tracking — large image motion with near-zero parallax).
+
+    ``close_loop=True`` scales the orbit speed so the eye completes one
+    full circuit within ``n_frames`` and returns to its start — a true
+    loop closure that re-observes the earliest map (exercises pose-graph
+    refinement + re-anchoring at trajectory scale)."""
     from ..camera import look_at
 
     rng = np.random.RandomState(seed)
@@ -182,6 +188,9 @@ def walkthrough_trajectory(n_frames: int, seed=0, extent=(2.0, 1.5, 2.5),
             gaze_rate[i:i + seg] = (rng.uniform(0.004, 0.012)
                                     * rng.choice([-1, 1]))
         i += seg
+    if close_loop:
+        n_move = max(int((~pan).sum()), 1)
+        orbit_rate = 2 * np.pi / n_move
     theta = np.cumsum(np.where(pan, 0.0, orbit_rate))
     eyes = np.stack([0.45 * ex * np.cos(theta),
                      0.1 * ey * np.sin(2 * theta),

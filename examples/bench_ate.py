@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--rgb-noise", type=float, default=0.01)
     ap.add_argument("--depth-noise", type=float, default=0.005)
     ap.add_argument("--no-refine", action="store_true")
+    ap.add_argument("--close-loop", action="store_true",
+                    help="complete one full circuit within --frames (true "
+                         "loop closure re-observing the earliest map)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -76,7 +79,8 @@ def main():
     h, w = (int(x) for x in args.res.split("x"))
     t0 = time.time()
     gt_model = replica_like_model(seed=args.seed, wall_res=args.wall_res)
-    views = walkthrough_trajectory(args.frames, seed=args.seed + 1)
+    views = walkthrough_trajectory(args.frames, seed=args.seed + 1,
+                                   close_loop=args.close_loop)
     cam_t = Camera(viewmatrix=views[0], tanfovx=0.82, tanfovy=0.62,
                    height=h, width=w)
     # ground-truth rendering tiles need not match the SLAM run's config
@@ -125,6 +129,10 @@ def main():
         "gaussians_gt": int(gt_model.num_active),
         "map_active": int(state.model.num_active),
         "tracking": args.method,
+        "kf_coverage": args.kf_coverage,
+        "window_select": args.window_select,
+        "close_loop": bool(args.close_loop),
+        "keyframes": len(state.kf_views),
         "fps": round(len(gtv) / dt, 3),
         "wall_s": round(dt, 1),
     }))
