@@ -210,6 +210,13 @@ def test_replica_like_scene_and_walkthrough():
 
     views = walkthrough_trajectory(48, extent=ex)
     assert views.shape == (48, 4, 4)
+
+    # closed loop: the eye returns to its start within a frame's motion
+    vc = np.asarray(walkthrough_trajectory(60, seed=1, extent=ex,
+                                           close_loop=True), np.float64)
+    ec = -np.einsum("kj,kij->ki", vc[:, 3, :3], vc[:, :3, :3])
+    step = np.linalg.norm(np.diff(ec, axis=0), axis=1).max()
+    assert np.linalg.norm(ec[0] - ec[-1]) < step + 1e-6
     v = np.asarray(views)
     for k in (0, 17, 47):
         r = v[k, :3, :3]
