@@ -31,6 +31,8 @@ def main():
                     choices=["gn", "gn_fd", "adam"])
     ap.add_argument("--track-iters", type=int, default=10)
     ap.add_argument("--map-iters", type=int, default=15)
+    ap.add_argument("--window", type=int, default=4)
+    ap.add_argument("--refine-every", type=int, default=4)
     # tuned on the toy-scale sweep (see BASELINE.md round-3 notes): dense
     # keyframing bounds inter-keyframe drift; depth-heavy tracking loss
     # disambiguates rotation/translation during pan segments
@@ -102,11 +104,11 @@ def main():
         capacity=args.capacity,
         keyframe_every=args.kf_every,
         map_every=args.kf_every,
-        window=4,
+        window=args.window,
         seed_every_px=3,
         init_iters=120,
         pose_graph_refine=not args.no_refine,
-        refine_every=4,
+        refine_every=args.refine_every,
         kf_min_coverage=args.kf_coverage,
         coverage_map_iters=args.coverage_map_iters,
         window_select=args.window_select,
