@@ -87,6 +87,16 @@ class SLAMConfig:
     # from the gauge-fixed first pose, fused with the odometry chain.
     refine_track_iters: int = 4
     refine_abs_weight: float = 4.0
+    # Quality gate on map-anchored edges: drop a keyframe's absolute edge
+    # when its re-track cost exceeds ``gate x median`` over all keyframes
+    # (0 = off).  A re-track against a region the map has not matured in
+    # converges to a WRONG pose with a high residual; fusing it at
+    # ``refine_abs_weight`` injects that error into the whole chain (and
+    # re-anchoring then bakes it into the map) — measured on the
+    # procedural benchmark: refine_every=2 without the gate degrades
+    # 6.5 -> 33 cm ATE.  The odometry chain keeps gated keyframes
+    # constrained.
+    refine_cost_gate: float = 0.0
 
     def __post_init__(self):
         if self.mesh is not None and self.map_axis is not None:
@@ -403,15 +413,23 @@ def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None,
         tcfg = dataclasses.replace(scfg.tracking,
                                    iters=scfg.refine_track_iters)
         inv0 = np.linalg.inv(old[0])
+        retracked = []
         for j in range(1, k):
-            v2, _, _ = track_frame(
+            v2, c2, _ = track_frame(
                 state.model, jnp.asarray(old[j], jnp.float32),
                 state.kf_frames[j], rcfg, tcfg, cam_t,
                 mesh=scfg.mesh, tile_axis=scfg.tile_axis,
                 map_axis=scfg.map_axis,
                 map_budget=scfg.map_budget_per_shard)
+            retracked.append((j, np.asarray(v2, np.float64), float(c2)))
+        cmed = float(np.median([c for _, _, c in retracked])) \
+            if retracked else 0.0
+        for j, v2, c in retracked:
+            if (scfg.refine_cost_gate > 0
+                    and c > scfg.refine_cost_gate * max(cmed, 1e-12)):
+                continue        # immature-map re-track; odometry holds j
             edges.append((0, j))
-            zs.append(np.asarray(v2, np.float64) @ inv0)
+            zs.append(v2 @ inv0)
             ws.append(scfg.refine_abs_weight)
     if scfg is not None:
         # the chordal GN solver runs the identical math on one device

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--map-iters", type=int, default=15)
     ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--refine-every", type=int, default=4)
+    ap.add_argument("--refine-cost-gate", type=float, default=0.0)
     # tuned on the toy-scale sweep (see BASELINE.md round-3 notes): dense
     # keyframing bounds inter-keyframe drift; depth-heavy tracking loss
     # disambiguates rotation/translation during pan segments
@@ -109,6 +110,7 @@ def main():
         init_iters=120,
         pose_graph_refine=not args.no_refine,
         refine_every=args.refine_every,
+        refine_cost_gate=args.refine_cost_gate,
         kf_min_coverage=args.kf_coverage,
         coverage_map_iters=args.coverage_map_iters,
         window_select=args.window_select,

@@ -467,3 +467,53 @@ def test_select_window_nearest_prefers_overlapping_keyframes():
     scfg_r = SLAMConfig(window=3, window_select="random")
     idx_r = _select_window(state, scfg_r, frame_idx=7)
     assert idx_r[0] == 5 and len(set(idx_r)) == 3
+
+
+@pytest.mark.quick
+def test_refine_cost_gate_drops_outlier_absolute_edges(monkeypatch):
+    """A keyframe whose re-track against the map converges badly (outlier
+    cost) must NOT enter the pose graph as a map-anchored edge when
+    ``refine_cost_gate`` is set — the odometry chain holds it instead.
+    (Measured motivation: ungated refine_every=2 degrades the procedural
+    ATE 6.5 -> 33 cm; see SLAMConfig.refine_cost_gate.)"""
+    from diff_gaussian_rasterization_tpu.models import lie, runner
+
+    views = orbit_trajectory(8)
+    kf_views = [views[i] for i in range(0, 8, 2)]
+
+    # fake re-track: keyframe 2 "converges" to a far-off pose with an
+    # outlier cost; the others return their chain pose at nominal cost
+    bogus = lie.apply_twist(kf_views[2],
+                            jnp.asarray([0.3, -0.2, 0.25, 0.2, -0.15, 0.2],
+                                        jnp.float32))
+
+    def fake_track(model, view0, frame, rcfg, tcfg, cam_t, **kw):
+        j = int(np.argmin([float(jnp.abs(view0 - v).max())
+                           for v in kf_views]))
+        if j == 2:
+            return bogus, jnp.asarray(100.0), None
+        return view0, jnp.asarray(1.0), None
+
+    monkeypatch.setattr(runner, "track_frame", fake_track)
+
+    def make_state():
+        return runner.SLAMState(
+            model=None, opt_state=None, dstate=None,
+            kf_views=list(kf_views), kf_frames=[None] * 4,
+            est_views=[views[i] for i in range(8)], rng=None,
+            kf_idx=[0, 2, 4, 6],
+        )
+
+    base = dict(tracking=TrackingConfig(iters=2), reanchor=False,
+                refine_track_iters=2)
+    gated = runner.refine_keyframes(
+        make_state(), SLAMConfig(refine_cost_gate=3.0, **base), CAM_T)
+    ungated = runner.refine_keyframes(
+        make_state(), SLAMConfig(refine_cost_gate=0.0, **base), CAM_T)
+
+    dev_g = float(jnp.abs(gated.kf_views[2] - kf_views[2]).max())
+    dev_u = float(jnp.abs(ungated.kf_views[2] - kf_views[2]).max())
+    # ungated: the weight-4 bogus absolute edge drags keyframe 2; gated:
+    # the edge is dropped and the odometry chain keeps it in place
+    assert dev_u > 0.05, dev_u
+    assert dev_g < dev_u * 0.2, (dev_g, dev_u)
