@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--mesh", default=None,
                     help="device-mesh axes, e.g. kf=2,tile=4 (must multiply "
                          "to the device count); enables distributed SLAM")
+    ap.add_argument("--window-select", default="nearest",
+                    choices=["nearest", "random"])
+    ap.add_argument("--kf-coverage", type=float, default=0.0)
+    ap.add_argument("--refine-cost-gate", type=float, default=3.0)
     ap.add_argument("--refine", action="store_true",
                     help="measurement-based pose-graph refinement at end")
     args = ap.parse_args()
@@ -108,6 +112,9 @@ def main():
         keyframe_every=2, map_every=2, window=3,
         seed_every_px=2, init_iters=60, motion_model=False,
         pose_graph_refine=args.refine,
+        window_select=args.window_select,
+        kf_min_coverage=args.kf_coverage,
+        refine_cost_gate=args.refine_cost_gate,
         mesh=mesh,
     )
 
