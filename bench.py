@@ -150,10 +150,50 @@ def _devices_or_report():
     sys.exit(3)
 
 
+def _probe_cache_path():
+    # lives beside the persistent XLA cache: both are "warm-run" state
+    import os
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "bench_probe.json")
+
+
+def _cached_instance_count(key):
+    try:
+        with open(_probe_cache_path()) as f:
+            return json.load(f).get(key)
+    except Exception:
+        return None
+
+
+def _store_instance_count(key, n):
+    path = _probe_cache_path()
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        data = {}
+    data[key] = int(n)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f)
+    os.replace(tmp, path)
+
+
 def main():
+    stages = {}
+    _t_stage = time.time()
+
+    def _stage(name):
+        nonlocal _t_stage
+        now = time.time()
+        stages[name] = round(now - _t_stage, 1)
+        _t_stage = now
+
     platform = _devices_or_report()[0].platform
     backend = "pallas" if platform in ("tpu", "axon") else "xla"
     _note(f"devices ready: platform={platform} backend={backend}")
+    _stage("init_s")
     # MXU triangular-matmul prefix scans: A/B'd on the v5e chip (round 3,
     # chip_session.log stage 3): baseline 24.6 ms -> 22.7 ms with both flags
     # (each also wins alone: sum +1.42 ms, prod +1.59 ms).  The blend's
@@ -177,14 +217,24 @@ def main():
 
     # preflight: size the static instance budget from the true count.
     # count_instances compiles only the preprocess (seconds), not a full
-    # render graph — the probe is what blew the round-1 driver budget.
-    _note("scene built; probing instance count")
-    n_inst = int(count_instances(
-        scene["means3D"], cam(view), cfg,
-        opacities=kw["opacities"], scales=kw["scales"],
-        rotations=kw["rotations"], colors_precomp=kw["colors_precomp"]))
+    # render graph — but even that probe has been observed to take >20 min
+    # through a stalled relay (BENCH_r03: 1364.9 s between "probing" and
+    # "compiling").  The count is a pure function of (scene seed, P, H, W,
+    # cfg), so persist it beside the XLA cache and skip the probe warm.
+    probe_key = f"P{P}_H{H}_W{W}_seed0_tile{cfg.tile_h}x{cfg.tile_w}"
+    n_inst = _cached_instance_count(probe_key)
+    if n_inst is None:
+        _note("scene built; probing instance count")
+        n_inst = int(count_instances(
+            scene["means3D"], cam(view), cfg,
+            opacities=kw["opacities"], scales=kw["scales"],
+            rotations=kw["rotations"], colors_precomp=kw["colors_precomp"]))
+        _store_instance_count(probe_key, n_inst)
+    else:
+        _note(f"scene built; probe cache hit ({n_inst} instances)")
     max_instances = int(-(-n_inst * 1.1 // 1024) * 1024)
     kw["max_instances"] = max_instances
+    _stage("probe_s")
     _note(f"instances={n_inst} budget={max_instances}; compiling step graph")
 
     def loss(means, v):
@@ -216,12 +266,14 @@ def main():
     step = jax.jit(many)
     g = step(scene["means3D"], view)
     jax.block_until_ready(g)
+    _stage("compile_s")
     _note("step graph compiled + first run done; timing")
 
     run = lambda: jax.block_until_ready(step(scene["means3D"], view)[0])
     run()
     n = 3
     t = timeit.timeit(run, number=n) / n / INNER
+    _stage("measure_s")
     value = 1.0 / t
     print(json.dumps({
         "metric": "fwd_bwd_rasterizations_per_sec_1200x680",
@@ -233,6 +285,7 @@ def main():
         "gaussians": P,
         "ms_per_fwd_bwd": round(t * 1e3, 3),
         "devices": len(jax.devices()),
+        "stages": stages,
     }))
 
 

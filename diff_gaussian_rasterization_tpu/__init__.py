@@ -234,9 +234,11 @@ def rasterize_gaussians(
         map_off=bool(s.map_off),
     )
     try:
-        if s.debug and s.prefiltered:
+        if s.prefiltered:
             # auxiliary.h:156-160: the reference __trap()s when a
-            # prefiltered Gaussian fails the frustum test
+            # prefiltered Gaussian fails the frustum test — the trap is
+            # unconditional (not gated on debug), so enforce it eagerly
+            # on every prefiltered call
             from .torch_compat import _check_prefiltered
 
             _check_prefiltered(

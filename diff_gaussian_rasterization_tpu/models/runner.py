@@ -53,6 +53,15 @@ class SLAMConfig:
     # mapping.iters): fresh territory starts as raw backprojected blobs and
     # needs more optimization than a mature map's refresh round
     coverage_map_iters: int = 0
+    # Cooldown on the coverage trigger: skip it within this many frames of
+    # the last keyframe.  If seeding cannot raise coverage above the
+    # threshold (e.g. the unmapped region has sparse valid depth), an
+    # ungated trigger inserts a keyframe + full mapping round on EVERY
+    # consecutive frame, bloating the keyframe list and wall time.  0 keeps
+    # the trigger ungated (a pan one frame after a keyframe can still
+    # fire); set to 2-3 when sequences stall in territory that seeding
+    # cannot cover.
+    kf_coverage_cooldown: int = 0
     # mapping-window selection: "random" = latest + uniform random older;
     # "nearest" = latest + nearest older keyframes by camera pose (center
     # distance + gaze angle) with one random anti-forgetting slot — in new
@@ -99,6 +108,10 @@ class SLAMConfig:
     refine_cost_gate: float = 0.0
 
     def __post_init__(self):
+        if self.window_select not in ("random", "nearest"):
+            raise ValueError(
+                f"window_select must be 'random' or 'nearest', got "
+                f"{self.window_select!r}")
         if self.mesh is not None and self.map_axis is not None:
             # kf x map compose in ONE mapping step (one shard_map over both
             # axes, parallel.sharded.sharded_kf_map_value_and_grad); only
@@ -248,7 +261,9 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
     kf_due = frame_idx % scfg.keyframe_every == 0
     out = None
     cov_trigger = False
-    if scfg.kf_min_coverage > 0 and not kf_due:
+    cooled = (not state.kf_idx
+              or frame_idx - state.kf_idx[-1] >= scfg.kf_coverage_cooldown)
+    if scfg.kf_min_coverage > 0 and not kf_due and cooled:
         out = render_model(state.model, Camera(
             viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
             height=cam_t.height, width=cam_t.width), rcfg)
@@ -422,8 +437,17 @@ def refine_keyframes(state: SLAMState, scfg: SLAMConfig = None,
                 map_axis=scfg.map_axis,
                 map_budget=scfg.map_budget_per_shard)
             retracked.append((j, np.asarray(v2, np.float64), float(c2)))
-        cmed = float(np.median([c for _, _, c in retracked])) \
-            if retracked else 0.0
+        # robust gate baseline: median of the LOWER HALF of costs.  The
+        # plain median is contaminated when half or more of the keyframes
+        # re-track badly (early runs, immature map) — it then lets every
+        # wrong weight-4 absolute edge through; the lower-half median
+        # tracks the well-re-tracked population instead, so mass-outlier
+        # rounds degrade gracefully (most edges gated, odometry holds).
+        if retracked:
+            cs = np.sort([c for _, _, c in retracked])
+            cmed = float(np.median(cs[:max(1, (len(cs) + 1) // 2)]))
+        else:
+            cmed = 0.0
         for j, v2, c in retracked:
             if (scfg.refine_cost_gate > 0
                     and c > scfg.refine_cost_gate * max(cmed, 1e-12)):

@@ -130,7 +130,8 @@ def _snapshot(path, **arrays):
 def _check_prefiltered(diff, cfg):
     """auxiliary.h:156-160: a Gaussian entering preprocess with
     ``prefiltered=True`` must pass the frustum test (the reference calls
-    ``__trap()``; we raise eagerly in debug mode)."""
+    ``__trap()`` unconditionally; we raise eagerly on every
+    ``prefiltered=True`` call)."""
     vis = mark_visible(diff["means3D"], diff["viewmatrix"], near=cfg.near)
     n_bad = int(jnp.sum(~vis))
     if n_bad:
@@ -191,9 +192,11 @@ class _RasterizeGaussiansTorch:
                        max_instances)
                 fwd, _ = _make_fns(*key)
 
+                if s.prefiltered:
+                    # auxiliary.h:156-160 traps unconditionally, not only
+                    # under debug — enforce on every prefiltered call
+                    _check_prefiltered(diff, cfg)
                 if s.debug:
-                    if s.prefiltered:
-                        _check_prefiltered(diff, cfg)
                     try:
                         floats, aux = fwd(diff, bg, gt)
                         jax.block_until_ready(floats)

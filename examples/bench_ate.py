@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--method", default="gn",
                     choices=["gn", "gn_fd", "adam"])
     ap.add_argument("--track-iters", type=int, default=10)
+    # coarse-to-fine tracking: pyramid=2 doubles the convergence basin at
+    # negligible cost (coarse renders are 1/4 res) — measured in
+    # BASELINE.md's pyramid table (18 px pan: lost at pyr=1, converges
+    # at pyr>=2); wired here so the ATE config actually uses the lever
+    ap.add_argument("--pyramid", type=int, default=2)
+    ap.add_argument("--coarse-iters", type=int, default=4)
     ap.add_argument("--map-iters", type=int, default=15)
     ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--refine-every", type=int, default=4)
@@ -41,9 +47,11 @@ def main():
     ap.add_argument("--track-w-depth", type=float, default=1.5)
     # rotation-dominant pans expose new territory between periodic
     # keyframes; coverage-triggered keyframing + overlap-based mapping
-    # windows bound the drift there (0 / "random" restore the round-3
-    # pre-fix behavior for A/Bs)
-    ap.add_argument("--kf-coverage", type=float, default=0.8)
+    # windows bound the drift there.  Default 0 (off): with kf-every=3 the
+    # trigger never fired in the round-3 campaign, while every non-keyframe
+    # frame paid a full extra render + host sync for the coverage check —
+    # opt in when keyframing is sparse.
+    ap.add_argument("--kf-coverage", type=float, default=0.0)
     ap.add_argument("--window-select", default="nearest",
                     choices=["nearest", "random"])
     ap.add_argument("--coverage-map-iters", type=int, default=0)
@@ -100,7 +108,9 @@ def main():
         raster=RasterConfig(tile_h=8, tile_w=16, chunk=32),
         tracking=TrackingConfig(iters=args.track_iters, method=args.method,
                                 sil_threshold=0.85,
-                                w_depth=args.track_w_depth),
+                                w_depth=args.track_w_depth,
+                                pyramid=args.pyramid,
+                                coarse_iters=args.coarse_iters),
         mapping=MappingConfig(iters=args.map_iters),
         capacity=args.capacity,
         keyframe_every=args.kf_every,
@@ -133,6 +143,7 @@ def main():
         "gaussians_gt": int(gt_model.num_active),
         "map_active": int(state.model.num_active),
         "tracking": args.method,
+        "pyramid": args.pyramid,
         "kf_coverage": args.kf_coverage,
         "window_select": args.window_select,
         "close_loop": bool(args.close_loop),

@@ -286,18 +286,21 @@ def test_torch_backward_snapshot_dump(tmp_path, monkeypatch):
 
 def test_prefiltered_contract(tmp_path, monkeypatch):
     # auxiliary.h:156-160: prefiltered=True promises every Gaussian passes
-    # the frustum test; debug mode enforces it eagerly
+    # the frustum test; the reference __trap()s UNCONDITIONALLY (the trap
+    # is not gated on debug), so the check must fire without debug too
     monkeypatch.chdir(tmp_path)
     scene, cam = make_scene(p=16, h=16, w=16, seed=5)
     behind = scene["means3D"].at[3, 2].set(-1.0)  # fails z > 0.2 near cull
+    for debug in (True, False):
+        settings = make_settings(cam, scene, prefiltered=True, debug=debug)
+        with pytest.raises(RuntimeError, match="prefiltered"):
+            dgr.rasterize_gaussians(
+                means3D=behind, colors_precomp=scene["colors_precomp"],
+                opacities=scene["opacities"], scales=scene["scales"],
+                rotations=scene["rotations"], viewmatrix=cam.viewmatrix,
+                raster_settings=settings, config=CFG,
+            )
     settings = make_settings(cam, scene, prefiltered=True, debug=True)
-    with pytest.raises(RuntimeError, match="prefiltered"):
-        dgr.rasterize_gaussians(
-            means3D=behind, colors_precomp=scene["colors_precomp"],
-            opacities=scene["opacities"], scales=scene["scales"],
-            rotations=scene["rotations"], viewmatrix=cam.viewmatrix,
-            raster_settings=settings, config=CFG,
-        )
     # all-visible prefiltered scene renders fine
     out = dgr.rasterize_gaussians(
         means3D=scene["means3D"], colors_precomp=scene["colors_precomp"],

@@ -3,6 +3,7 @@ sequence — BASELINE config 5 in miniature (single-host here; the sharded
 variants are covered by test_sharding.py)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -16,7 +17,7 @@ from diff_gaussian_rasterization_tpu.models.runner import (
     SLAMConfig, run_slam,
 )
 from diff_gaussian_rasterization_tpu.models.slam import (
-    MappingConfig, TrackingConfig,
+    Frame, MappingConfig, TrackingConfig,
 )
 
 H, W = 40, 56
@@ -517,3 +518,95 @@ def test_refine_cost_gate_drops_outlier_absolute_edges(monkeypatch):
     # the edge is dropped and the odometry chain keeps it in place
     assert dev_u > 0.05, dev_u
     assert dev_g < dev_u * 0.2, (dev_g, dev_u)
+
+
+@pytest.mark.quick
+def test_refine_cost_gate_survives_mass_outliers(monkeypatch):
+    """When HALF the keyframes re-track badly (immature map), the gate
+    baseline must not be contaminated: the lower-half median tracks the
+    well-re-tracked population, so the bad edges are still dropped."""
+    from diff_gaussian_rasterization_tpu.models import lie, runner
+
+    views = orbit_trajectory(8)
+    kf_views = [views[i] for i in range(0, 8, 2)]
+    bad = {2, 3}      # half of the 1..3 re-tracked keyframes +1 more
+    bogus = {j: lie.apply_twist(
+        kf_views[j], jnp.asarray([0.3, -0.2, 0.25, 0.2, -0.15, 0.2],
+                                 jnp.float32)) for j in bad}
+
+    def fake_track(model, view0, frame, rcfg, tcfg, cam_t, **kw):
+        j = int(np.argmin([float(jnp.abs(view0 - v).max())
+                           for v in kf_views]))
+        if j in bad:
+            return bogus[j], jnp.asarray(100.0), None
+        return view0, jnp.asarray(1.0), None
+
+    monkeypatch.setattr(runner, "track_frame", fake_track)
+    state = runner.SLAMState(
+        model=None, opt_state=None, dstate=None,
+        kf_views=list(kf_views), kf_frames=[None] * 4,
+        est_views=[views[i] for i in range(8)], rng=None,
+        kf_idx=[0, 2, 4, 6])
+    gated = runner.refine_keyframes(
+        state, SLAMConfig(refine_cost_gate=3.0,
+                          tracking=TrackingConfig(iters=2),
+                          reanchor=False, refine_track_iters=2), CAM_T)
+    # with a full-median baseline, 2 of 3 re-tracks at cost 100 put the
+    # median at 100 and both bogus edges pass the gate; the lower-half
+    # median (cost 1) gates them
+    for j in bad:
+        dev = float(jnp.abs(gated.kf_views[j] - kf_views[j]).max())
+        assert dev < 0.02, (j, dev)
+
+
+@pytest.mark.quick
+def test_window_select_validated():
+    with pytest.raises(ValueError, match="window_select"):
+        SLAMConfig(window_select="nearset")
+
+
+@pytest.mark.quick
+def test_coverage_trigger_cooldown(monkeypatch):
+    """With the coverage trigger persistently failing to raise coverage,
+    the cooldown must prevent a keyframe on every consecutive frame."""
+    from diff_gaussian_rasterization_tpu.models import runner
+
+    inserted = []
+
+    class FakeOut:
+        opacity_map = jnp.zeros((1, CAM_T.height, CAM_T.width))
+        num_rendered = jnp.asarray(0)
+
+    def fake_render(model, cam, cfg, **kw):
+        return FakeOut()
+
+    def fake_track(model, view0, frame, rcfg, tcfg, cam_t, **kw):
+        return view0, jnp.asarray(1.0), None
+
+    def fake_mapping_round(model, opt_state, dstate, kf, rcfg, mcfg,
+                           cam_t, rng, **kw):
+        return model, opt_state, dstate, jnp.asarray(0.0)
+
+    monkeypatch.setattr(runner, "render_model", fake_render)
+    monkeypatch.setattr(runner, "track_frame", fake_track)
+    monkeypatch.setattr(runner, "mapping_round", fake_mapping_round)
+    monkeypatch.setattr(runner, "backproject",
+                        lambda *a, **k: (jnp.zeros((0, 3)),
+                                         jnp.zeros((0, 3)),
+                                         jnp.zeros((0, 3))))
+
+    frame = Frame(rgb=jnp.zeros((3, CAM_T.height, CAM_T.width)),
+                  depth=jnp.ones((CAM_T.height, CAM_T.width)))
+    scfg = SLAMConfig(keyframe_every=100, map_every=100,
+                      kf_min_coverage=0.9, kf_coverage_cooldown=3,
+                      motion_model=False)
+    state = runner.SLAMState(
+        model=None, opt_state=None, dstate=None,
+        kf_views=[jnp.eye(4)], kf_frames=[frame],
+        est_views=[jnp.eye(4)], rng=jax.random.PRNGKey(0), kf_idx=[0],
+        raster=RasterConfig())
+    for i in range(1, 10):
+        state, _ = runner.slam_step(state, frame, CAM_T, scfg, i)
+    # zero coverage every frame: without the cooldown this inserts 9
+    # keyframes; with cooldown=3 only every 3rd frame triggers
+    assert state.kf_idx == [0, 3, 6, 9], state.kf_idx
