@@ -244,10 +244,13 @@ def main():
                 + 0.1 * jnp.sum(out.opacity_map))
 
     # The single TPU chip in this environment sits behind a relay with
-    # ~30 ms per-execution round-trip latency; a production SLAM loop keeps
-    # the device busy with a stream of steps, so throughput is measured by
-    # chaining INNER fwd+bwd steps inside one executable and dividing.
-    INNER = int(os.environ.get("DGR_BENCH_INNER", 10))
+    # ~16-30 ms per-execution round-trip latency; a production SLAM loop
+    # keeps the device busy with a stream of steps, so throughput is
+    # measured by chaining INNER fwd+bwd steps inside one executable and
+    # dividing.  Measured (2026-08-19): INNER=10 -> 22.88 ms/step,
+    # INNER=30 -> 21.82 ms/step (dispatch ~16 ms amortized 3x better);
+    # device-trace op time is 19.97 ms, so residual overhead is ~1 ms.
+    INNER = int(os.environ.get("DGR_BENCH_INNER", 30))
     grad_fn = jax.grad(loss, argnums=(0, 1))
 
     def many(means, v):
