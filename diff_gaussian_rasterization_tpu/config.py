@@ -60,6 +60,15 @@ class RasterConfig:
     # 3-sigma rect (forward.cu:229-232): identical rendered output (culled
     # pixels could never pass alpha >= alpha_min), ~30-40% fewer instances.
     opacity_cull: bool = True
+    # Extra pixels of binning footprint around every splat (rect AND exact
+    # ellipse cull are both dilated).  Zero-cost to rendered output at the
+    # binning pose (the blend's alpha >= alpha_min mask zeroes the padded
+    # instances), but keeps the instance->tile assignment VALID for nearby
+    # poses — GN tracking bins once per frame with a margin covering the
+    # expected inter-frame motion and reuses the binning across all
+    # iterations (the reference re-sorts every render; see
+    # rasterize(binn=...)).
+    bin_margin_px: float = 0.0
 
     # --- parity quirks (see reference SURVEY appendix A) ---
     # The reference uses quaternions unnormalized (forward.cu:127, the

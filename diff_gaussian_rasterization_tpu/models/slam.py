@@ -138,6 +138,20 @@ class TrackingConfig:
     # absorbed before the full-res polish.  1 = off.
     pyramid: int = 1
     coarse_iters: int = 5   # iterations per coarse level
+    # bin ONCE per frame (at the initial pose, with bin_margin_px of
+    # footprint slack) and reuse the instance assignment across all GN
+    # iterations — pose deltas within a solve are bounded by the
+    # inter-frame motion, so a modest margin keeps the frozen binning
+    # valid while the expansion/sort/range stage runs 1x instead of
+    # 2x per iteration
+    freeze_binning: bool = False
+    bin_margin_px: float = 8.0
+    # True: classic LM — every GN step is validated by a dedicated
+    # residual render before acceptance (2 renders/iteration).  False:
+    # deferred accept — the NEXT iteration's dual render doubles as the
+    # evaluation of the previous trial step (reject = halve the step),
+    # 1 dual render/iteration total
+    line_search: bool = True
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -211,6 +225,13 @@ def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
         return Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
                       height=height, width=width)
 
+    if tcfg.freeze_binning:
+        from ..ops.rasterize import bin_for_view
+        binn = bin_for_view(
+            model.means3D, cam_of(view0),
+            cfg.replace(bin_margin_px=tcfg.bin_margin_px), **kwm)
+        mk = dict(mk, binn=binn)
+
     def res_of(out, m):
         sil = out.opacity_map[0]
         rc = ((out.color - frame.rgb) * m[None]).reshape(-1)
@@ -257,32 +278,69 @@ def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
         jw = jac * w[None, :]
         return jw @ jac.T, jw @ r, cost
 
-    def step(carry, _):
-        xi, lam, best_xi, best_cost = carry
-        h, g, cost = gn_eval(xi)
-        better0 = cost < best_cost
-        best_xi = jnp.where(better0, xi, best_xi)
-        best_cost = jnp.where(better0, cost, best_cost)
-        dx = jnp.linalg.solve(
+    def _solve(h, g, lam, dtype):
+        return jnp.linalg.solve(
             h + lam * jnp.diag(jnp.diag(h))
-            + 1e-9 * jnp.eye(6, dtype=xi.dtype), -g)
-        xi2 = xi + dx
-        cost2, _ = cost_of(residuals(xi2))
-        accept = (cost2 < cost) & jnp.all(jnp.isfinite(dx))
-        xi = jnp.where(accept, xi2, xi)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
-                        jnp.minimum(lam * 5.0, 1e3))
-        return (xi, lam, best_xi, best_cost), cost
+            + 1e-9 * jnp.eye(6, dtype=dtype), -g)
 
     xi0 = jnp.zeros((6,), view0.dtype)
-    init = (xi0, jnp.asarray(tcfg.lam0, view0.dtype), xi0,
+
+    if tcfg.line_search:
+        def step(carry, _):
+            xi, lam, best_xi, best_cost = carry
+            h, g, cost = gn_eval(xi)
+            better0 = cost < best_cost
+            best_xi = jnp.where(better0, xi, best_xi)
+            best_cost = jnp.where(better0, cost, best_cost)
+            dx = _solve(h, g, lam, xi.dtype)
+            xi2 = xi + dx
+            cost2, _ = cost_of(residuals(xi2))
+            accept = (cost2 < cost) & jnp.all(jnp.isfinite(dx))
+            xi = jnp.where(accept, xi2, xi)
+            lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
+                            jnp.minimum(lam * 5.0, 1e3))
+            return (xi, lam, best_xi, best_cost), cost
+
+        init = (xi0, jnp.asarray(tcfg.lam0, view0.dtype), xi0,
+                jnp.asarray(jnp.inf, view0.dtype))
+        (xi, _, best_xi, best_cost), costs = jax.lax.scan(
+            step, init, None, length=tcfg.iters)
+        final_cost, _ = cost_of(residuals(xi))
+        better = final_cost < best_cost
+        best_xi = jnp.where(better, xi, best_xi)
+        best_cost = jnp.where(better, final_cost, best_cost)
+        return lie.apply_twist(view0, best_xi), best_cost, costs
+
+    # deferred accept: the NEXT iteration's dual render evaluates the
+    # previous trial step — ONE render per iteration instead of two.
+    # anchor = last accepted point, dx = pending trial step; a rejected
+    # trial keeps the anchor and retries with half the step (backtracking)
+    # and boosted damping.  best_* tracks every evaluated point, so the
+    # returned pose never regresses versus the line-search variant's
+    # guarantee.
+    def step(carry, _):
+        anchor, dx, cost_anchor, lam, best_xi, best_cost = carry
+        xi_try = anchor + dx
+        h, g, cost = gn_eval(xi_try)
+        better = cost < best_cost
+        best_xi = jnp.where(better, xi_try, best_xi)
+        best_cost = jnp.where(better, cost, best_cost)
+        accept = cost < cost_anchor
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
+                        jnp.minimum(lam * 5.0, 1e3))
+        dx_new = _solve(h, g, lam, anchor.dtype)
+        ok = jnp.all(jnp.isfinite(dx_new))
+        dx = jnp.where(accept & ok, dx_new, 0.5 * dx)
+        anchor = jnp.where(accept, xi_try, anchor)
+        cost_anchor = jnp.where(accept, cost, cost_anchor)
+        return (anchor, dx, cost_anchor, lam, best_xi, best_cost), cost
+
+    init = (xi0, jnp.zeros((6,), view0.dtype),
+            jnp.asarray(jnp.inf, view0.dtype),
+            jnp.asarray(tcfg.lam0, view0.dtype), xi0,
             jnp.asarray(jnp.inf, view0.dtype))
-    (xi, _, best_xi, best_cost), costs = jax.lax.scan(
+    (_, _, _, _, best_xi, best_cost), costs = jax.lax.scan(
         step, init, None, length=tcfg.iters)
-    final_cost, _ = cost_of(residuals(xi))
-    better = final_cost < best_cost
-    best_xi = jnp.where(better, xi, best_xi)
-    best_cost = jnp.where(better, final_cost, best_cost)
     return lie.apply_twist(view0, best_xi), best_cost, costs
 
 

@@ -62,6 +62,14 @@ class Binned(NamedTuple):
                                                # repeat a valid position)
     inv: Optional[jnp.ndarray] = None          # (cap,) pre-sort -> slot
     gauss_sorted: Optional[jnp.ndarray] = None  # (cap,) sorted Gaussian ids
+    # sort-domain segment ranges (searchsorted output, arbitrary 128-lane
+    # phase).  The Pallas kernels read these directly (two-block slab DMA +
+    # in-VMEM lane rotation), so the fused render path never materializes
+    # the aligned re-layout of the instance stream; ``tile_start`` (the
+    # aligned starts) remains the *write* domain of the backward's
+    # gradient rows (slot = sorted_pos + tile_start[t] - sort_start[t]).
+    sort_start: Optional[jnp.ndarray] = None   # (T,) int32
+    sort_stop: Optional[jnp.ndarray] = None    # (T,) int32
 
 
 INSTANCE_ALIGN = 128  # matches the Pallas kernels' DMA block (render_pallas.BLOCK)
@@ -89,13 +97,17 @@ def _expand_ids(starts, cap: int):
 def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
                   max_instances: int, align: int = 1,
                   tile_w: int = 0, tile_h: int = 0,
-                  alpha_min: float = 15.0 / 255.0) -> Binned:
+                  alpha_min: float = 15.0 / 255.0,
+                  margin_px: float = 0.0) -> Binned:
     """Bin splats into per-tile depth-sorted instance segments.
 
     ``tile_w``/``tile_h`` (pixels) enable the exact ellipse-tile overlap
     cull; 0 disables it (AABB rect only).  ``alpha_min`` must match the
     blend's skip threshold (forward.cu:364-373) for the cull to be
     output-preserving — the rasterize entry point passes ``cfg.alpha_min``.
+    ``margin_px`` dilates the cull's tile box (pass ``cfg.bin_margin_px``,
+    which must also have dilated the preprocess rects) so the instance set
+    stays valid for poses within that image motion of the binning pose.
     """
     p = prep.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -161,10 +173,10 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
     # shrink every tile's kernel segment.
     if tile_w > 0 and tile_h > 0:
         ca, cb, cc = bf(6), bf(7), bf(8)
-        dx0 = tx.astype(jnp.float32) * tile_w - bf(9)
-        dx1 = dx0 + (tile_w - 1)
-        dy0 = ty.astype(jnp.float32) * tile_h - bf(10)
-        dy1 = dy0 + (tile_h - 1)
+        dx0 = tx.astype(jnp.float32) * tile_w - bf(9) - margin_px
+        dx1 = dx0 + (tile_w - 1) + 2.0 * margin_px
+        dy0 = ty.astype(jnp.float32) * tile_h - bf(10) - margin_px
+        dy1 = dy0 + (tile_h - 1) + 2.0 * margin_px
         inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
         safe_a = jnp.maximum(ca, 1e-12)
         safe_c = jnp.maximum(cc, 1e-12)
@@ -266,6 +278,8 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
             src=src_c,
             inv=inv,
             gauss_sorted=g_s,
+            sort_start=tile_start,
+            sort_stop=tile_stop,
         )
 
     return Binned(

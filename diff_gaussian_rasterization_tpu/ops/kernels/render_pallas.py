@@ -72,12 +72,16 @@ def _pixel_vectors(tile_idx, tiles_x, th, tw, height, width):
 
 
 def pack_instances(xy, conic, opac, color, depth, depth_med):
-    """[I, features] -> [I // BLOCK, FEAT, BLOCK] feature-planar blocks.
+    """[I, features] -> [I // BLOCK + 1, FEAT, BLOCK] feature-planar blocks.
 
     Rows: x, y, A, B, C, opac, r, g, b, depth, depth_med, depth^2, 1, pad.
     Rows 6..12 are exactly the blend matmul's feature rows ([c.., depth,
     dmed, d^2, 1]) so kernels can slice them contiguously — Mosaic cannot
     concatenate freshly computed vectors in-kernel.
+
+    One trailing zero block is appended: the kernels DMA two-block slabs
+    (the lane-rotation read path for sort-domain segments), so the last
+    live block's slab read must have a legal successor.
     """
     i = xy.shape[0]
     assert i % BLOCK == 0, "instance stream must be BLOCK-aligned"
@@ -88,7 +92,43 @@ def pack_instances(xy, conic, opac, color, depth, depth_med):
          jnp.zeros((i, FEAT - 13), xy.dtype)],
         axis=1,
     )
-    return jnp.transpose(flat.reshape(i // BLOCK, BLOCK, FEAT), (0, 2, 1))
+    blocks = jnp.transpose(flat.reshape(i // BLOCK, BLOCK, FEAT), (0, 2, 1))
+    return jnp.concatenate(
+        [blocks, jnp.zeros((1, FEAT, BLOCK), xy.dtype)], axis=0)
+
+
+def pack_feature_table(full):
+    """[I, FEAT] pre-assembled feature rows -> padded feature-planar blocks.
+
+    The fused render path gathers the whole per-instance feature table in
+    one row gather (sorted order) and packs it here — no per-column
+    instance arrays are ever materialized.
+    """
+    i = full.shape[0]
+    assert i % BLOCK == 0 and full.shape[1] == FEAT
+    blocks = jnp.transpose(full.reshape(i // BLOCK, BLOCK, FEAT), (0, 2, 1))
+    return jnp.concatenate(
+        [blocks, jnp.zeros((1, FEAT, BLOCK), full.dtype)], axis=0)
+
+
+def _rolled(slab, shift):
+    """[2, F, BLOCK] slab -> the [F, BLOCK] window starting at lane
+    ``shift`` of the concatenated pair: out[:, l] = flat[:, shift + l].
+
+    This is how the kernels read *sort-domain* tile segments (arbitrary
+    128-lane phase) out of the 128-aligned packed stream: two-block DMA +
+    one dynamic lane rotation + select, instead of materializing a
+    re-aligned copy of the whole instance stream (the round-3 aligned
+    gather cost 1.9 ms/frame at bench scale).  ``shift`` is a traced
+    scalar; shift == 0 (aligned callers) selects slab[0] exactly.
+    """
+    f = slab.shape[1]
+    a = slab[0]
+    b = slab[1]
+    ra = pltpu.roll(a, BLOCK - shift, axis=1)
+    rb = pltpu.roll(b, BLOCK - shift, axis=1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (f, BLOCK), 1)
+    return jnp.where(li < BLOCK - shift, ra, rb)
 
 
 def _sub(plane, c, size):
@@ -141,6 +181,8 @@ def _fwd_kernel(
         t = pl.program_id(0) * batch + j
         start = start_ref[t]
         stop = stop_ref[t]
+        base = start // BLOCK
+        shift = jax.lax.rem(start, BLOCK)
 
         # tidx maps the local grid step to a global tile id (they differ
         # when the tile axis is sharded across devices)
@@ -160,10 +202,14 @@ def _fwd_kernel(
         carry0 = blend.init_carry(q, 3, jnp.float32)
         n_blocks = pl.cdiv(stop - start, BLOCK)
 
-        def read_dma(k, start=start):
+        # Two-block slab per chunk: segment starts live at arbitrary lane
+        # phase in the sorted stream (sort-domain reads); _rolled()
+        # reassembles the in-phase [FEAT, BLOCK] window.  Aligned callers
+        # (shift == 0) read one extra block and select slab[0].
+        def read_dma(k, base=base):
             return pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
-                data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                packed_hbm.at[pl.ds(base + k, 2)],
+                data_scr.at[jax.lax.rem(k, 2)],
                 sems.at[jax.lax.rem(k, 2)],
             )
 
@@ -179,7 +225,7 @@ def _fwd_kernel(
             return (k < n_blocks) & jnp.any(carry.prod >= cfg.t_terminate)
 
         def body(state, px=px, py=py, pixmask=pixmask, gt=gt, basis=basis,
-                 origin=origin, start=start, stop=stop):
+                 origin=origin, start=start, stop=stop, shift=shift):
             k, carry = state
 
             # double buffering: next block's fetch overlaps this compute
@@ -188,7 +234,7 @@ def _fwd_kernel(
                 read_dma(k + 1).start()
 
             read_dma(k).wait()
-            block = data_scr[jax.lax.rem(k, 2)]
+            block = _rolled(data_scr[jax.lax.rem(k, 2)], shift)
             for c in range(n_sub):
                 xy, conic, opac, color, depth, dmed = _features(block, c,
                                                                 sub)
@@ -240,8 +286,8 @@ def _fwd_kernel(
         @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
         def _(n_start=n_start):
             pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
-                data_scr.at[pl.ds(0, 1)],
+                packed_hbm.at[pl.ds(n_start // BLOCK, 2)],
+                data_scr.at[0],
                 sems.at[0],
             ).start()
 
@@ -262,7 +308,7 @@ def core_fwd(
     tile_start, tile_stop, gt_tiles,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 0, interpret=None,
-    tile_index=None, packed=None,
+    tile_index=None, packed=None, i_total=None,
 ) -> CoreOutputs:
     del tile_batch  # XLA-backend knob; see cfg.kernel_tile_batch
     if interpret is None:
@@ -272,7 +318,8 @@ def core_fwd(
     assert q % 128 == 0, "tile_h*tile_w must be a multiple of 128"
     sub = min(cfg.chunk, BLOCK)
     assert BLOCK % sub == 0
-    i_total = xy.shape[0]
+    if i_total is None:
+        i_total = xy.shape[0]
     b = max(1, cfg.kernel_tile_batch)
     t_pad = -(-t // b) * b
 
@@ -314,7 +361,7 @@ def core_fwd(
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # double-buffered
+            pltpu.VMEM((2, 2, FEAT, BLOCK), jnp.float32),  # 2-slab buffers
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -364,10 +411,11 @@ TAN_PER_K = 3  # tangent feature rows per direction: dx, dy, ddepth
 
 
 def pack_tangents(tan_xy, tan_depth):
-    """K-tuples of [I, 2] / [I] -> [I // BLOCK, TFEAT, BLOCK] planes.
+    """K-tuples of [I, 2] / [I] -> [I // BLOCK + 1, TFEAT, BLOCK] planes.
 
     Row layout per tangent k: 3k + (0: dx, 1: dy, 2: ddepth); rows are
-    padded up to a sublane multiple of 8.
+    padded up to a sublane multiple of 8.  A trailing zero block backs the
+    two-block slab reads (see ``pack_instances``).
     """
     i = tan_xy[0].shape[0]
     assert i % BLOCK == 0
@@ -378,7 +426,9 @@ def pack_tangents(tan_xy, tan_depth):
         cols += [tan_xy[k], tan_depth[k][:, None]]
     cols.append(jnp.zeros((i, tfeat - TAN_PER_K * k_t), tan_xy[0].dtype))
     flat = jnp.concatenate(cols, axis=1)
-    return jnp.transpose(flat.reshape(i // BLOCK, BLOCK, tfeat), (0, 2, 1))
+    blocks = jnp.transpose(flat.reshape(i // BLOCK, BLOCK, tfeat), (0, 2, 1))
+    return jnp.concatenate(
+        [blocks, jnp.zeros((1, tfeat, BLOCK), flat.dtype)], axis=0)
 
 
 def _jvp_kernel(
@@ -399,6 +449,8 @@ def _jvp_kernel(
         t = pl.program_id(0) * batch + j
         start = start_ref[t]
         stop = stop_ref[t]
+        base = start // BLOCK
+        shift = jax.lax.rem(start, BLOCK)
         px, py, pixmask = _pixel_vectors(
             tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
         )
@@ -407,17 +459,17 @@ def _jvp_kernel(
         carry0 = blend.init_jvp_carry(q, k_t, 3, jnp.float32)
         n_blocks = pl.cdiv(stop - start, BLOCK)
 
-        def read_dma(k, start=start):
+        def read_dma(k, base=base):
             return pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
-                data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                packed_hbm.at[pl.ds(base + k, 2)],
+                data_scr.at[jax.lax.rem(k, 2)],
                 sems.at[jax.lax.rem(k, 2)],
             )
 
-        def read_tan_dma(k, start=start):
+        def read_tan_dma(k, base=base):
             return pltpu.make_async_copy(
-                tan_hbm.at[pl.ds(start // BLOCK + k, 1)],
-                tan_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                tan_hbm.at[pl.ds(base + k, 2)],
+                tan_scr.at[jax.lax.rem(k, 2)],
                 tsems.at[jax.lax.rem(k, 2)],
             )
 
@@ -435,7 +487,7 @@ def _jvp_kernel(
                 carry.primal.prod >= cfg.t_terminate)
 
         def body(state, px=px, py=py, pixmask=pixmask, gt=gt,
-                 start=start, stop=stop):
+                 start=start, stop=stop, shift=shift):
             k, carry = state
 
             @pl.when(k + 1 < n_blocks)
@@ -445,8 +497,8 @@ def _jvp_kernel(
 
             read_dma(k).wait()
             read_tan_dma(k).wait()
-            block = data_scr[jax.lax.rem(k, 2)]
-            tblock = tan_scr[jax.lax.rem(k, 2)]
+            block = _rolled(data_scr[jax.lax.rem(k, 2)], shift)
+            tblock = _rolled(tan_scr[jax.lax.rem(k, 2)], shift)
             for c in range(n_sub):
                 xy, conic, opac, color, depth, dmed = _features(block, c,
                                                                 sub)
@@ -498,13 +550,13 @@ def _jvp_kernel(
         @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
         def _(n_start=n_start):
             pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
-                data_scr.at[pl.ds(0, 1)],
+                packed_hbm.at[pl.ds(n_start // BLOCK, 2)],
+                data_scr.at[0],
                 sems.at[0],
             ).start()
             pltpu.make_async_copy(
-                tan_hbm.at[pl.ds(n_start // BLOCK, 1)],
-                tan_scr.at[pl.ds(0, 1)],
+                tan_hbm.at[pl.ds(n_start // BLOCK, 2)],
+                tan_scr.at[0],
                 tsems.at[0],
             ).start()
 
@@ -562,6 +614,7 @@ def core_fwd_jvp(
     packed = pack_instances(xy, conic, opac, color, depth, depth_med)
     tpacked = pack_tangents(tan_xy, tan_depth)
     tfeat = tpacked.shape[1]
+    assert packed.shape[0] == tpacked.shape[0]
 
     def pad_t(x, value=0):
         if t_pad == t:
@@ -592,8 +645,8 @@ def core_fwd_jvp(
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),
-            pltpu.VMEM((2, tfeat, BLOCK), jnp.float32),
+            pltpu.VMEM((2, 2, FEAT, BLOCK), jnp.float32),
+            pltpu.VMEM((2, 2, tfeat, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -647,7 +700,7 @@ def core_fwd_jvp(
 
 
 def _bwd_kernel(
-    start_ref, stop_ref, tidx_ref,
+    start_ref, stop_ref, tidx_ref, astart_ref,
     packed_hbm, pixcot_ref, pixmat_ref, totall_ref, dm_ref,
     basis_ref,
     rows_init,
@@ -665,6 +718,14 @@ def _bwd_kernel(
         t = pl.program_id(0) * batch + j
         start = start_ref[t]
         stop = stop_ref[t]
+        base = start // BLOCK
+        shift = jax.lax.rem(start, BLOCK)
+        # reads walk the (possibly sort-domain) segment [start, stop);
+        # gradient-row writes go to the 128-aligned output block astart//B+k
+        # — the pre-sort -> slot map (binning's `inv`/`dst`) is defined as
+        # slot = sorted_pos + (astart - start), so downstream reduction is
+        # untouched.  Aligned callers pass astart == start.
+        astart = astart_ref[t]
 
         px, py, pixmask = _pixel_vectors(
             tidx_ref[t], tiles_x, cfg.tile_h, cfg.tile_w, height, width
@@ -681,32 +742,32 @@ def _bwd_kernel(
         carry0 = blend.init_bwd_carry(q, 3, jnp.float32)
         n_blocks = pl.cdiv(stop - start, BLOCK)
 
-        def read_dma(k, start=start):
+        def read_dma(k, base=base):
             return pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(start // BLOCK + k, 1)],
-                data_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
+                packed_hbm.at[pl.ds(base + k, 2)],
+                data_scr.at[jax.lax.rem(k, 2)],
                 sems.at[jax.lax.rem(k, 2)],
             )
 
-        def write_dma(k, start=start):
+        def write_dma(k, astart=astart):
             return pltpu.make_async_copy(
                 rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
-                rows_out.at[pl.ds(start // BLOCK + k, 1)],
+                rows_out.at[pl.ds(astart // BLOCK + k, 1)],
                 sems.at[2 + jax.lax.rem(k, 2)],
             )
 
         # Deferred drain of the previous tile's last row writes: instead of
         # stalling at the end of that tile, they complete during this tile's
-        # prologue.  state_scr carries (prev start, prev pending-writes) so
+        # prologue.  state_scr carries (prev astart, prev pending-writes) so
         # the exact descriptors can be reconstructed; the waits must precede
         # this tile's first rows_scr stores (slot reuse).
-        p_start = state_scr[0]
+        p_astart = state_scr[0]
         p_kf = state_scr[1]
 
-        def prev_write_dma(k, p_start=p_start):
+        def prev_write_dma(k, p_astart=p_astart):
             return pltpu.make_async_copy(
                 rows_scr.at[pl.ds(jax.lax.rem(k, 2), 1)],
-                rows_out.at[pl.ds(p_start // BLOCK + k, 1)],
+                rows_out.at[pl.ds(p_astart // BLOCK + k, 1)],
                 sems.at[2 + jax.lax.rem(k, 2)],
             )
 
@@ -730,7 +791,7 @@ def _bwd_kernel(
 
         def body(state, px=px, py=py, pixmask=pixmask, pix=pix, dl_dm=dl_dm,
                  origin=origin, start=start, stop=stop, n_blocks=n_blocks,
-                 read_dma=read_dma, write_dma=write_dma):
+                 read_dma=read_dma, write_dma=write_dma, shift=shift):
             k, carry = state
             slot = jax.lax.rem(k, 2)
 
@@ -744,7 +805,7 @@ def _bwd_kernel(
             def _():
                 write_dma(k - 2).wait()
 
-            block = data_scr[slot]
+            block = _rolled(data_scr[slot], shift)
             for c in range(n_sub):
                 xy, conic, opac, color, depth, _ = _features(block, c, sub)
                 packed = jax.lax.slice(block,
@@ -789,7 +850,7 @@ def _bwd_kernel(
         # the last real tile has no successor to drain its writes; padding
         # tiles must then see zero pending writes (double-waiting deadlocks)
         last = t == n_tiles - 1
-        state_scr[0] = start
+        state_scr[0] = astart
         state_scr[1] = jnp.where(last, 0, kf)
 
         @pl.when(last & (kf >= 2))
@@ -807,8 +868,8 @@ def _bwd_kernel(
         @pl.when((t + 1 < n_tiles) & (stop_ref[nt] > n_start))
         def _(n_start=n_start):
             pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(n_start // BLOCK, 1)],
-                data_scr.at[pl.ds(0, 1)],
+                packed_hbm.at[pl.ds(n_start // BLOCK, 2)],
+                data_scr.at[0],
                 sems.at[0],
             ).start()
 
@@ -821,7 +882,8 @@ def core_bwd(
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 0, interpret=None,
     tile_index=None, packed=None, want_med: bool = True,
-    want_var: bool = True,
+    want_var: bool = True, tile_astart=None, rows_capacity=None,
+    return_flat: bool = False,
 ):
     del tile_batch
     if interpret is None:
@@ -829,9 +891,13 @@ def core_bwd(
     t = tile_start.shape[0]
     if tile_index is None:
         tile_index = jnp.arange(t, dtype=jnp.int32)
+    if tile_astart is None:
+        tile_astart = tile_start  # aligned callers: reads == writes domain
     th, tw = cfg.tile_h, cfg.tile_w
     sub = min(cfg.chunk, BLOCK)
-    i_total = xy.shape[0]
+    if rows_capacity is None:
+        rows_capacity = xy.shape[0]
+    i_total = rows_capacity
     n_rows = i_total // BLOCK
 
     if packed is None:
@@ -868,13 +934,14 @@ def core_bwd(
     tile_start = pad_t(tile_start)
     tile_stop = pad_t(tile_stop)
     tile_index = pad_t(tile_index)
+    tile_astart = pad_t(tile_astart)
 
     flat_spec = lambda k: pl.BlockSpec((b, k, q), lambda i, *_: (i, 0, 0),
                                        memory_space=pltpu.VMEM)
     tile_spec = flat_spec(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t_pad // b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # packed
@@ -888,7 +955,7 @@ def core_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # read double-buffer
+            pltpu.VMEM((2, 2, FEAT, BLOCK), jnp.float32),  # read 2-slab bufs
             pltpu.VMEM((2, FEAT, BLOCK), jnp.float32),  # write double-buffer
             pltpu.SemaphoreType.DMA((4,)),              # 2 read + 2 write
             pltpu.SMEM((2,), jnp.int32),                # (prev start, prev kf)
@@ -903,15 +970,17 @@ def core_bwd(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, FEAT, BLOCK), jnp.float32),
-        input_output_aliases={9: 0},
+        input_output_aliases={10: 0},
         interpret=interpret,
     )(
-        tile_start, tile_stop, tile_index, packed,
+        tile_start, tile_stop, tile_index, tile_astart, packed,
         pad_t(pixcot), pad_t(pixmat),
         pad_t(tot_all.reshape(t, 1, q)),
         pad_t(dL_dmed.reshape(t, 1, q)), basis,
         jnp.zeros((n_rows, FEAT, BLOCK), jnp.float32),
     )
     flat = jnp.transpose(rows, (0, 2, 1)).reshape(i_total, FEAT)
+    if return_flat:
+        return flat
     return (flat[:, 0:2], flat[:, 2:5], flat[:, 5], flat[:, 6:9],
             flat[:, 9], flat[:, 10], flat[:, 11])

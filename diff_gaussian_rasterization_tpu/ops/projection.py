@@ -270,6 +270,13 @@ def preprocess(
     else:
         rx_bin = ry_bin = radius
 
+    if cfg.bin_margin_px:
+        # dilate live footprints only: a zero footprint means the splat can
+        # never pass alpha_min anywhere, which no pose change alters
+        m = float(cfg.bin_margin_px)
+        rx_bin = jnp.where(rx_bin > 0, rx_bin + m, rx_bin)
+        ry_bin = jnp.where(ry_bin > 0, ry_bin + m, ry_bin)
+
     ndc_xy = ndc[:, :2] if means2D is None else ndc[:, :2] + means2D
     xy = jnp.stack(
         [ndc2pix(ndc_xy[:, 0], camera.width),

@@ -40,7 +40,7 @@ from ..camera import Camera
 from ..config import RasterConfig
 from . import tile_xla
 from .binning import (Binned, bin_gaussians, default_max_instances,
-                      INSTANCE_ALIGN)
+                      aligned_size, INSTANCE_ALIGN)
 from .oracle import RenderOutputs
 from .projection import preprocess
 from .tiling import grid_dims, img_to_tiles, tiles_to_img
@@ -153,6 +153,99 @@ def _make_core(tile_start, tile_stop, gt_tiles, *, cfg: RasterConfig,
     return core
 
 
+def _make_fused_core(binn: Binned, gt_tiles, *, cfg: RasterConfig,
+                     tiles_x: int, capacity: int, rows_capacity: int,
+                     height: int, width: int):
+    """Sort-domain fused render core: gather -> pack -> render -> reduce
+    inside ONE custom_vjp over the per-Gaussian feature table ``feat``
+    ([P, 11]: xy, conic, opac, color, depth, depth_sgview).
+
+    Replaces the round-3 chain of (two-stage aligned gather -> per-column
+    instance arrays -> pack_instances) with a single sorted-order row
+    gather feeding the kernels directly: the Pallas kernels read tile
+    segments at arbitrary 128-lane phase (two-block slab DMA + in-VMEM
+    lane rotation, render_pallas._rolled), so the aligned re-layout of the
+    instance stream — 1.9 ms/frame at bench scale — is never materialized.
+    The backward still writes gradient rows in the *aligned* domain
+    (disjoint per-tile regions; slot = sorted_pos + tile_start - sort_start)
+    so the deterministic MXU segment reduction over pre-sort runs
+    (kernels/segment_sum.py, replacing backward.cu:593-680's atomicAdd)
+    consumes them through the same ``inv`` map as before.
+
+    The returned gradient is d feat directly: column 10 (the pose-stopped
+    depth copy) accumulates both the median-depth and depth-variance row
+    gradients, exactly like the unfused path where ``inst_depth_med`` was
+    passed for both operands.
+    """
+    from .kernels import render_pallas as impl
+    from .kernels.segment_sum import segment_sum_rows
+
+    ts, tp = binn.sort_start, binn.sort_stop
+    astart = binn.tile_start
+    kw = dict(cfg=cfg, tiles_x=tiles_x, capacity=capacity,
+              height=height, width=width)
+    b = impl.BLOCK
+    f16 = impl.FEAT
+
+    def build(feat):
+        full = feat[binn.gauss_sorted]               # [cap, 11] row gather
+        d = full[:, 9:10]
+        table = jnp.concatenate(
+            [full, d * d, jnp.ones_like(d),
+             jnp.zeros((capacity, f16 - 13), full.dtype)], axis=1)
+        return impl.pack_feature_table(table)
+
+    none6 = (None,) * 6
+
+    @jax.custom_vjp
+    def core(feat):
+        packed = build(feat)
+        return impl.core_fwd(*none6, ts, tp, gt_tiles, packed=packed,
+                             i_total=capacity, **kw)
+
+    def core_fwd(feat):
+        feat = feat.value if hasattr(feat, "value") else feat
+        packed = build(feat)
+        out = impl.core_fwd(*none6, ts, tp, gt_tiles, packed=packed,
+                            i_total=capacity, **kw)
+        res = (packed, out.color, out.depth, out.weight, out.var,
+               out.t_final)
+        return out, res
+
+    def core_bwd(res, cot):
+        packed, tot_c, tot_d, tot_w, tot_v, t_final = res
+        zero = jnp.zeros_like(t_final)
+        zero_c = jnp.zeros_like(tot_c)
+
+        def dead(x):
+            if x is None or isinstance(
+                    x, jax.custom_derivatives.SymbolicZero):
+                return True
+            return hasattr(x, "dtype") and x.dtype == jax.dtypes.float0
+
+        f = lambda x, like: like if dead(x) else x
+        cots = (f(cot.color, zero_c), f(cot.depth, zero),
+                f(cot.weight, zero), f(cot.var, zero),
+                f(cot.median, zero), f(cot.t_final, zero))
+        flat = impl.core_bwd(
+            None, None, None, None, None,
+            ts, tp, gt_tiles, tot_c, tot_d, tot_w, tot_v, t_final, *cots,
+            packed=packed, tile_astart=astart, rows_capacity=rows_capacity,
+            return_flat=True,
+            want_med=not dead(cot.median), want_var=not dead(cot.var),
+            **kw)                                     # [rows_capacity, 16]
+        rows_u = flat[binn.inv]                       # pre-sort order [cap]
+        blocks = jnp.transpose(
+            rows_u.reshape(capacity // b, b, f16), (0, 2, 1))
+        g = segment_sum_rows(blocks, binn.gauss_start, binn.gauss_stop)
+        d_feat = jnp.concatenate(
+            [g[:, 0:10], (g[:, 10] + g[:, 11])[:, None]], axis=1)
+        return (d_feat,)
+
+    core.defvjp(core_fwd, core_bwd, symbolic_zeros=True)
+    return core
+
+
 def count_instances(
     means3D,
     camera: Camera,
@@ -187,6 +280,52 @@ def count_instances(
     return jnp.sum(prep.tiles_touched.astype(jnp.int32))
 
 
+def bin_for_view(
+    means3D,
+    camera: Camera,
+    cfg: RasterConfig = RasterConfig(),
+    *,
+    opacities,
+    scales=None,
+    rotations=None,
+    cov3D_precomp=None,
+    shs=None,
+    sh_degree: int = 0,
+    colors_precomp=None,
+    scale_modifier: float = 1.0,
+    max_instances=None,
+    **_unused,
+) -> Binned:
+    """Precompute binning (expansion + sort + ranges) for reuse via
+    ``rasterize(..., binn=...)``.
+
+    Set ``cfg.bin_margin_px`` to the image motion the reuse must survive:
+    GN pose tracking bins once per frame at the initial pose with a margin
+    covering the expected inter-frame motion, then renders all iterations
+    against the frozen instance assignment — the reference re-runs
+    duplicateWithKeys + RadixSort per render (rasterizer_impl.cu:283-324);
+    here that work amortizes across the whole GN solve.  Accepts (and
+    ignores) the rest of :func:`rasterize`'s keyword surface.
+    """
+    prep = preprocess(
+        means3D, camera, cfg,
+        opacities=opacities, scales=scales, rotations=rotations,
+        cov3D_precomp=cov3D_precomp, shs=shs, sh_degree=sh_degree,
+        colors_precomp=colors_precomp, scale_modifier=scale_modifier,
+    )
+    h, w = camera.height, camera.width
+    tiles_x, tiles_y = grid_dims(h, w, cfg.tile_h, cfg.tile_w)
+    if max_instances is None:
+        max_instances = cfg.max_instances or default_max_instances(
+            means3D.shape[0], cfg.instance_multiplier
+        )
+    return bin_gaussians(prep, tiles_x, tiles_y, max_instances,
+                         align=INSTANCE_ALIGN,
+                         tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                         alpha_min=cfg.alpha_min,
+                         margin_px=cfg.bin_margin_px)
+
+
 def rasterize(
     means3D,
     camera: Camera,
@@ -211,12 +350,22 @@ def rasterize(
     mesh=None,
     tile_axis: str = "tile",
     use_custom_vjp: bool = True,
+    binn: Binned = None,
 ) -> RenderOutputs:
     """Render Gaussians; differentiable w.r.t. all parameters and the pose.
 
     Equivalent surface to the light variant's ``rasterize_gaussians``
     (light __init__.py:21-46) with ``track_off``/``map_off`` realized as
     stop-gradients (reference: backward gates at backward.cu:593-696).
+
+    ``binn``: a precomputed :class:`Binned` (see :func:`bin_for_view`) to
+    reuse — the expansion/sort/range stage is skipped and the instance ->
+    (gaussian, tile) assignment, sort order, and segment ranges are taken
+    as given, while per-instance *features* still come from this call's
+    preprocess.  Valid when the geometry seen by the binning pose covers
+    this call's pose (``cfg.bin_margin_px`` at bin time buys that slack);
+    the blend's validity mask zeroes instances whose splat no longer
+    reaches their tile, so at the binning pose the output is exact.
     """
     h, w = camera.height, camera.width
     dtype = means3D.dtype
@@ -255,14 +404,19 @@ def rasterize(
 
     tiles_x, tiles_y = grid_dims(h, w, cfg.tile_h, cfg.tile_w)
     p = means3D.shape[0]
-    if max_instances is None:
-        max_instances = cfg.max_instances or default_max_instances(
-            p, cfg.instance_multiplier
-        )
-    binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
-                                 align=INSTANCE_ALIGN,
-                                 tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-                                 alpha_min=cfg.alpha_min)
+    if binn is None:
+        if max_instances is None:
+            max_instances = cfg.max_instances or default_max_instances(
+                p, cfg.instance_multiplier
+            )
+        binn = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
+                             align=INSTANCE_ALIGN,
+                             tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                             alpha_min=cfg.alpha_min,
+                             margin_px=cfg.bin_margin_px)
+    else:
+        max_instances = (binn.gauss_sorted if binn.gauss_sorted is not None
+                         else binn.gauss_id).shape[0]
 
     backend = backend or cfg.backend
     if backend == "auto":
@@ -272,7 +426,6 @@ def rasterize(
     if not use_custom_vjp:
         backend = "xla"
 
-    ids = binn.gauss_id
     # One fused row gather for all per-instance features (6 separate gathers
     # measured ~16x slower on TPU).  On the Pallas path its VJP is the
     # deterministic MXU segment reduction (kernels/segment_sum.py) instead
@@ -281,31 +434,43 @@ def rasterize(
     feat = jnp.concatenate(
         [prep.xy, prep.conic, prep.opacity[:, None], prep.color,
          prep.depth[:, None], prep.depth_sgview[:, None]], axis=1)
-    if backend == "pallas" and binn.src is not None and mesh is None:
-        from .kernels.segment_sum import make_segmented_gather
-        gather = make_segmented_gather(
-            binn.src, binn.inv, binn.gauss_sorted,
-            binn.gauss_start, binn.gauss_stop, cap=max_instances)
-        inst = gather(feat)
-    else:
-        inst = feat[ids]
-    inst_xy = inst[:, 0:2]
-    inst_conic = inst[:, 2:5]
-    inst_opac = inst[:, 5]
-    inst_color = inst[:, 6:9]
-    inst_depth = inst[:, 9]
-    inst_depth_med = inst[:, 10]
 
     gt_tiles = img_to_tiles(gt_depth, cfg.tile_h, cfg.tile_w)
 
-    core = _make_core(
-        binn.tile_start, binn.tile_stop, gt_tiles,
-        cfg=cfg, tiles_x=tiles_x, capacity=max_instances,
-        height=h, width=w, tile_batch=tile_batch, backend=backend,
-        mesh=mesh, tile_axis=tile_axis, use_custom_vjp=use_custom_vjp,
-    )
-    out = core(inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
-               inst_depth_med, inst_depth_med)
+    fused = (backend == "pallas" and binn.sort_start is not None
+             and mesh is None and use_custom_vjp)
+    if fused:
+        # sort-domain fused path: one sorted-order gather feeds the kernels
+        # directly; the aligned instance re-layout and its per-column
+        # intermediates are never built (binning's aligned-slot products
+        # are dead code here and DCE'd by XLA)
+        ids = binn.gauss_sorted
+        core = _make_fused_core(
+            binn, gt_tiles, cfg=cfg, tiles_x=tiles_x,
+            capacity=max_instances,
+            rows_capacity=aligned_size(max_instances, tiles_x * tiles_y,
+                                       INSTANCE_ALIGN),
+            height=h, width=w,
+        )
+        out = core(feat)
+    else:
+        ids = binn.gauss_id
+        inst = feat[ids]
+        inst_xy = inst[:, 0:2]
+        inst_conic = inst[:, 2:5]
+        inst_opac = inst[:, 5]
+        inst_color = inst[:, 6:9]
+        inst_depth = inst[:, 9]
+        inst_depth_med = inst[:, 10]
+
+        core = _make_core(
+            binn.tile_start, binn.tile_stop, gt_tiles,
+            cfg=cfg, tiles_x=tiles_x, capacity=max_instances,
+            height=h, width=w, tile_batch=tile_batch, backend=backend,
+            mesh=mesh, tile_axis=tile_axis, use_custom_vjp=use_custom_vjp,
+        )
+        out = core(inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
+                   inst_depth_med, inst_depth_med)
 
     color_tiles = out.color + out.t_final[:, None, :] * bg[None, :, None]
     color_img = tiles_to_img(
@@ -382,6 +547,7 @@ def rasterize_with_pose_jvp(
     backend=None,
     mesh=None,
     tile_axis: str = "tile",
+    binn: Binned = None,
 ) -> PoseJvpOutputs:
     """Render plus K exact pose-tangent images in ONE pass.
 
@@ -426,15 +592,35 @@ def rasterize_with_pose_jvp(
     prep = preprocess(means3D, camera, cfg, **prep_kw)
     tiles_x, tiles_y = grid_dims(h, w, cfg.tile_h, cfg.tile_w)
     p = means3D.shape[0]
-    if max_instances is None:
-        max_instances = cfg.max_instances or default_max_instances(
-            p, cfg.instance_multiplier
-        )
-    binn: Binned = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
-                                 align=INSTANCE_ALIGN,
-                                 tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-                                 alpha_min=cfg.alpha_min)
-    ids = binn.gauss_id
+    if binn is None:
+        if max_instances is None:
+            max_instances = cfg.max_instances or default_max_instances(
+                p, cfg.instance_multiplier
+            )
+        binn = bin_gaussians(prep, tiles_x, tiles_y, max_instances,
+                             align=INSTANCE_ALIGN,
+                             tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                             alpha_min=cfg.alpha_min,
+                             margin_px=cfg.bin_margin_px)
+    else:
+        max_instances = (binn.gauss_sorted if binn.gauss_sorted is not None
+                         else binn.gauss_id).shape[0]
+    backend = backend or cfg.backend
+    if backend == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        backend = "pallas" if on_tpu and cfg.tile_px % 128 == 0 else "xla"
+
+    # sort-domain on the single-device Pallas path (one sorted-order row
+    # gather; the kernels handle arbitrary segment phase — see
+    # _make_fused_core); aligned domain everywhere else
+    fused = (backend == "pallas" and binn.sort_start is not None
+             and mesh is None)
+    if fused:
+        ids = binn.gauss_sorted
+        rng_start, rng_stop = binn.sort_start, binn.sort_stop
+    else:
+        ids = binn.gauss_id
+        rng_start, rng_stop = binn.tile_start, binn.tile_stop
 
     feat = jnp.concatenate(
         [prep.xy, prep.conic, prep.opacity[:, None], prep.color,
@@ -452,10 +638,6 @@ def rasterize_with_pose_jvp(
 
     gt_tiles = img_to_tiles(gt_depth, cfg.tile_h, cfg.tile_w)
 
-    backend = backend or cfg.backend
-    if backend == "auto":
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = "pallas" if on_tpu and cfg.tile_px % 128 == 0 else "xla"
     kw = dict(cfg=cfg, tiles_x=tiles_x, capacity=max_instances,
               height=h, width=w, tile_batch=tile_batch)
     if backend == "pallas":
@@ -474,7 +656,7 @@ def rasterize_with_pose_jvp(
         out, tano = jvp_impl(
             inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
             inst_depth_med, tan_xy, tan_depth,
-            binn.tile_start, binn.tile_stop, gt_tiles, **kw)
+            rng_start, rng_stop, gt_tiles, **kw)
 
     to_img = lambda x: tiles_to_img(x, h, w, cfg.tile_h, cfg.tile_w)
     color_tiles = out.color + out.t_final[:, None, :] * bg[None, :, None]

@@ -197,3 +197,77 @@ def test_pallas_scan_mm_flags_match():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_pallas_sort_domain_reads_match_aligned():
+    """Kernel-level check of the sort-domain read path: core_fwd/core_bwd
+    fed the SORTED stream with arbitrary-phase segment ranges (two-block
+    slab DMA + lane rotation, render_pallas._rolled) must reproduce the
+    aligned-stream results, and the backward's aligned-domain gradient rows
+    must land on exactly the slots binning's ``inv`` map points at."""
+    scene, cam, binn, args, gt_tiles, kw = setup()
+    cap = binn.gauss_sorted.shape[0]
+
+    # nonzero shifts must actually occur or this test is vacuous
+    shifts = np.asarray(binn.sort_start) % 128
+    assert (shifts[np.asarray(binn.sort_stop) > np.asarray(
+        binn.sort_start)] != 0).any()
+
+    a = render_pallas.core_fwd(*args, binn.tile_start, binn.tile_stop,
+                               gt_tiles, interpret=True, **kw)
+
+    # sorted-domain inputs: one row gather in sorted order
+    from diff_gaussian_rasterization_tpu.ops.projection import preprocess
+    prep = preprocess(
+        scene["means3D"], cam, CFG, opacities=scene["opacities"],
+        scales=scene["scales"], rotations=scene["rotations"],
+        colors_precomp=scene["colors_precomp"],
+    )
+    gs = binn.gauss_sorted
+    sargs = (prep.xy[gs], prep.conic[gs], prep.opacity[gs],
+             prep.color[gs], prep.depth[gs], prep.depth_sgview[gs])
+    b = render_pallas.core_fwd(*sargs, binn.sort_start, binn.sort_stop,
+                               gt_tiles, interpret=True, **kw)
+
+    for name in ("color", "depth", "weight", "median", "var", "t_final",
+                 "n_contrib", "n_valid"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            rtol=1e-6, atol=1e-7, err_msg=name)
+    # per-Gaussian uncertainty stats live in different index domains but
+    # must agree once scattered onto Gaussians
+    p = scene["means3D"].shape[0]
+    ua = np.zeros(p, np.float32)
+    np.add.at(ua, np.asarray(binn.gauss_id), np.asarray(a.u_inst))
+    ub = np.zeros(p, np.float32)
+    np.add.at(ub, np.asarray(gs), np.asarray(b.u_inst))
+    np.testing.assert_allclose(ua, ub, rtol=1e-5, atol=1e-6)
+
+    t, q = a.depth.shape
+    rng = np.random.RandomState(0)
+    cots = [jnp.asarray(rng.normal(size=s), jnp.float32) for s in
+            [(t, 3, q), (t, q), (t, q), (t, q), (t, q), (t, q)]]
+    ra = render_pallas.core_bwd(
+        *args[:5], binn.tile_start, binn.tile_stop, gt_tiles,
+        a.color, a.depth, a.weight, a.var, a.t_final, *cots,
+        interpret=True, **kw)
+    i_al = args[0].shape[0]
+    flat = render_pallas.core_bwd(
+        *sargs[:5], binn.sort_start, binn.sort_stop, gt_tiles,
+        a.color, a.depth, a.weight, a.var, a.t_final, *cots,
+        tile_astart=binn.tile_start, rows_capacity=i_al, return_flat=True,
+        interpret=True, **kw)
+    # compare through the pre-sort map: slot rows of real instances only
+    inv = np.asarray(binn.inv)
+    ra_flat = np.concatenate(
+        [np.asarray(ra[0]), np.asarray(ra[1]), np.asarray(ra[2])[:, None],
+         np.asarray(ra[3]), np.asarray(ra[4])[:, None],
+         np.asarray(ra[5])[:, None], np.asarray(ra[6])[:, None]], axis=1)
+    total = int(binn.num_rendered)
+    live = np.asarray(binn.gauss_start) < np.asarray(binn.gauss_stop)
+    rows_sorted = np.asarray(flat)[inv][:min(total, cap)]
+    rows_aligned = ra_flat[inv][:min(total, cap)]
+    np.testing.assert_allclose(rows_sorted[:, :12], rows_aligned,
+                               rtol=1e-5, atol=1e-6)
+    assert live.any()

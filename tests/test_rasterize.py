@@ -373,3 +373,59 @@ def test_pose_jvp_overflow_reported():
         max_instances=128, backend="xla", tile_batch=4, **kw)
     assert bool(j.out.overflow)
     assert np.all(np.isfinite(np.asarray(j.color)))
+
+
+@pytest.mark.quick
+def test_binning_reuse_exact_at_bin_pose():
+    """rasterize(binn=precomputed) with a margin must reproduce a
+    fresh-binning render at the binning pose to rounding: padded
+    instances can never pass alpha >= alpha_min there, so they only
+    insert exact-identity lanes into the prefix scans (the log-doubling
+    scan tree re-associates around them -> ulp-level noise, nothing
+    more).  A small pose delta must stay close (frozen sort order /
+    instance set is the tracking approximation)."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.ops.rasterize import bin_for_view
+
+    scene, cam = make_scene(p=48, h=24, w=32, seed=13)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    m = scene["means3D"]
+
+    base = rasterize(m, cam, CFG, backend="xla", tile_batch=4, **kw)
+    cfgm = CFG.replace(bin_margin_px=5.0)
+    binn = bin_for_view(m, cam, cfgm, max_instances=4096,
+                        **{k: v for k, v in kw.items()
+                           if k not in ("bg", "gt_depth")})
+    # the margin must not overflow the budget, or real (deepest) instances
+    # are dropped and the reuse is no longer exact
+    assert not bool(binn.overflow)
+    reused = rasterize(m, cam, CFG, backend="xla", tile_batch=4,
+                       binn=binn, **kw)
+    np.testing.assert_allclose(np.asarray(base.color),
+                               np.asarray(reused.color), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(base.depth),
+                               np.asarray(reused.depth), rtol=3e-6,
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(base.opacity_map),
+                               np.asarray(reused.opacity_map), atol=5e-6)
+
+    # gradients flow through the reused-binning render
+    g = jax.grad(lambda mm: jnp.sum(rasterize(
+        mm, cam, CFG, backend="xla", tile_batch=4, binn=binn,
+        **kw).color))(m)
+    g0 = jax.grad(lambda mm: jnp.sum(rasterize(
+        mm, cam, CFG, backend="xla", tile_batch=4, **kw).color))(m)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+
+    # nearby pose: frozen binning stays a close approximation (margin
+    # covers the motion)
+    xi = jnp.asarray([0.004, -0.003, 0.002, 0.001, -0.002, 0.001])
+    cam2 = Camera(viewmatrix=lie.apply_twist(cam.viewmatrix, xi),
+                  tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+                  height=cam.height, width=cam.width)
+    fresh = rasterize(m, cam2, CFG, backend="xla", tile_batch=4, **kw)
+    moved = rasterize(m, cam2, CFG, backend="xla", tile_batch=4,
+                      binn=binn, **kw)
+    err = float(jnp.abs(fresh.color - moved.color).max())
+    assert err < 0.05, err

@@ -225,3 +225,25 @@ def test_tracking_pyramid_extends_convergence_basin():
     r_pyr, t_pyr = run(2)
     assert r_pyr < 0.01 and t_pyr < 0.01, (r_pyr, t_pyr)
     assert r_flat > 5 * r_pyr, (r_flat, r_pyr)  # flat stays lost
+
+
+@pytest.mark.quick
+def test_tracking_frozen_binning_deferred_accept():
+    """freeze_binning (bin once per frame, margin slack) +
+    line_search=False (deferred accept, one dual render per iteration)
+    must still recover the pose — the per-frame fast path for GN
+    tracking throughput."""
+    model, views, frames = make_world()
+    true_view = views[1]
+    xi = jnp.asarray([0.02, -0.015, 0.01, 0.008, -0.01, 0.006])
+    view0 = lie.apply_twist(true_view, xi)
+    r0, t0 = pose_error(view0, true_view)
+
+    tcfg = TrackingConfig(iters=12, sil_threshold=0.95,
+                          freeze_binning=True, bin_margin_px=6.0,
+                          line_search=False)
+    view_opt, best_loss, losses = track_frame(
+        model, view0, frames[1], CFG, tcfg, CAM_T)
+    r1, t1 = pose_error(view_opt, true_view)
+    assert r1 < r0 * 0.35, (r0, r1)
+    assert t1 < t0 * 0.35, (t0, t1)
