@@ -68,9 +68,17 @@ def main():
     # _jvp_kernel: forward + all 6 exact tangents, ~3x one render) plus one
     # accept-check render.  Override with DGR_TRACK_METHOD=gn_fd (13
     # central-difference renders/iter) or adam (first-order VJP path).
+    # DGR_TRACK_FREEZE=1: bin once per frame (margin DGR_TRACK_MARGIN px)
+    # and reuse across GN iterations.  DGR_TRACK_LS=0: deferred accept —
+    # one dual render per iteration instead of dual + accept-check.
     import os
-    tcfg = TrackingConfig(method=os.environ.get("DGR_TRACK_METHOD", "gn"),
-                          iters=6)
+    tcfg = TrackingConfig(
+        method=os.environ.get("DGR_TRACK_METHOD", "gn"),
+        iters=6,
+        freeze_binning=os.environ.get("DGR_TRACK_FREEZE", "0") == "1",
+        bin_margin_px=float(os.environ.get("DGR_TRACK_MARGIN", 8.0)),
+        line_search=os.environ.get("DGR_TRACK_LS", "1") == "1",
+    )
 
     # ground-truth frame rendered at identity; initial guess = small twist.
     # The probe also sizes the static instance budget (see bench_mapping).
@@ -100,6 +108,8 @@ def main():
         "value": round(1.0 / t, 3),
         "unit": "tracked frames/s",
         "method": tcfg.method, "iters": tcfg.iters,
+        "freeze_binning": tcfg.freeze_binning,
+        "line_search": tcfg.line_search,
         "platform": platform,
         "gaussians": P,
         "ms_per_tracked_frame": round(t * 1e3, 3),

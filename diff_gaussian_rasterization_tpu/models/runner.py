@@ -62,6 +62,31 @@ class SLAMConfig:
     # fire); set to 2-3 when sequences stall in territory that seeding
     # cannot cover.
     kf_coverage_cooldown: int = 0
+    # Relocalization on track loss: a frame is flagged lost when its
+    # converged GN cost exceeds ``reloc_spike x`` the median cost of the
+    # recent frames OR its rendered silhouette covers less than
+    # ``reloc_min_coverage`` of the frame's valid-depth pixels.  The
+    # coverage signal is essential: the GN cost is summed over
+    # silhouette-MASKED pixels, so a badly lost pose (map rendered into
+    # the wrong region -> mask collapse) can report a LOWER cost than
+    # healthy tracking (measured: 0.88 lost vs 1.16 median healthy on the
+    # procedural scene).  On loss, re-track the frame from up to
+    # ``reloc_candidates`` alternative initializations — the nearest
+    # keyframe poses by camera center/gaze — and keep the best candidate
+    # by coverage-normalized cost (cost / coverage).  0 disables.  Costs
+    # one coverage render per frame while enabled (shared with the
+    # kf_min_coverage trigger's render) plus candidate re-tracks only on
+    # flagged frames.
+    reloc_spike: float = 0.0
+    reloc_candidates: int = 2
+    reloc_min_coverage: float = 0.5
+    # GN iterations for candidate re-tracks (0 = tracking.iters).  A
+    # relocalization starts far from the basin floor by construction, so
+    # it deserves a heavier budget than the per-frame warm-started solve;
+    # spikes are rare, so the extra renders do not affect steady-state
+    # throughput (a nonzero value compiles one extra track graph variant,
+    # once).
+    reloc_track_iters: int = 0
     # mapping-window selection: "random" = latest + uniform random older;
     # "nearest" = latest + nearest older keyframes by camera pose (center
     # distance + gaze angle) with one random anti-forgetting slot — in new
@@ -133,6 +158,8 @@ class SLAMState:
     rng: jax.Array
     # frame index of each keyframe (trajectory-correction anchors)
     kf_idx: List = dataclasses.field(default_factory=lambda: [0])
+    # per-frame converged tracking costs (relocalization spike baseline)
+    track_costs: List = dataclasses.field(default_factory=list)
     # the run's RasterConfig with the instance budget sized from the
     # bootstrapped map (init_slam); kept here rather than written back into
     # the caller's SLAMConfig so a config object never acquires state
@@ -256,20 +283,73 @@ def slam_step(state: SLAMState, frame: Frame, cam_t: Camera,
                                 mesh=scfg.mesh, tile_axis=scfg.tile_axis,
                                 map_axis=scfg.map_axis,
                                 map_budget=scfg.map_budget_per_shard)
-    state.est_views.append(view)
 
-    kf_due = frame_idx % scfg.keyframe_every == 0
-    out = None
-    cov_trigger = False
-    cooled = (not state.kf_idx
-              or frame_idx - state.kf_idx[-1] >= scfg.kf_coverage_cooldown)
-    if scfg.kf_min_coverage > 0 and not kf_due and cooled:
+    def _coverage_render(v):
         out = render_model(state.model, Camera(
-            viewmatrix=view, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
+            viewmatrix=v, tanfovx=cam_t.tanfovx, tanfovy=cam_t.tanfovy,
             height=cam_t.height, width=cam_t.width), rcfg)
         sil = np.asarray(out.opacity_map[0])
         dv = np.asarray(frame.depth) > 0
         cov = float((sil > 0.5)[dv].mean()) if dv.any() else 1.0
+        return out, cov
+
+    # relocalization: flag the frame lost when the converged cost spikes
+    # above the recent baseline OR the silhouette coverage collapses (a
+    # lost pose masks away most residual pixels, so its COST can look
+    # healthy — coverage is the reliable loss signal).  Retry from the
+    # nearest keyframe poses; keep the best coverage-normalized cost.
+    # Uses >= 4 frames of history so the very first spiky frames cannot
+    # fire it with a meaningless baseline.
+    out = cov = None
+    if scfg.reloc_spike > 0 and len(state.track_costs) >= 4:
+        base = float(np.median(state.track_costs[-8:]))
+        out, cov = _coverage_render(view)
+        if (float(loss) > scfg.reloc_spike * max(base, 1e-12)
+                or cov < scfg.reloc_min_coverage):
+            v0 = np.asarray(view0, np.float64)
+            c0 = -v0[3, :3] @ np.linalg.inv(v0[:3, :3]).T
+            ax0 = v0[:3, 2]
+
+            def _dist(v):
+                v = np.asarray(v, np.float64)
+                c = -v[3, :3] @ np.linalg.inv(v[:3, :3]).T
+                return (np.linalg.norm(c - c0)
+                        + 2.0 * (1.0 - float(v[:3, 2] @ ax0)))
+
+            nscore = lambda l, cv: float(l) / max(cv, 0.05)
+            best = nscore(loss, cov)
+            # candidate re-tracks start a keyframe-gap away from the
+            # basin by construction — always coarse-to-fine (pyramid>=2
+            # doubles the convergence basin per level; a single-level GN
+            # from the nearest keyframe measured 0 improvement on the
+            # procedural scene, pyramid 2 recovers it)
+            tcfg_r = dataclasses.replace(
+                scfg.tracking,
+                iters=(scfg.reloc_track_iters
+                       if scfg.reloc_track_iters > 0
+                       else scfg.tracking.iters),
+                pyramid=max(scfg.tracking.pyramid, 2))
+            order = np.argsort([_dist(v) for v in state.kf_views])
+            for i in order[:max(scfg.reloc_candidates, 0)]:
+                v2, l2, _ = track_frame(
+                    state.model, state.kf_views[i], frame, rcfg,
+                    tcfg_r, cam_t, mesh=scfg.mesh,
+                    tile_axis=scfg.tile_axis, map_axis=scfg.map_axis,
+                    map_budget=scfg.map_budget_per_shard)
+                out2, cov2 = _coverage_render(v2)
+                s2 = nscore(l2, cov2)
+                if s2 < best:
+                    best, view, loss, out, cov = s2, v2, l2, out2, cov2
+    state.track_costs.append(float(loss))
+    state.est_views.append(view)
+
+    kf_due = frame_idx % scfg.keyframe_every == 0
+    cov_trigger = False
+    cooled = (not state.kf_idx
+              or frame_idx - state.kf_idx[-1] >= scfg.kf_coverage_cooldown)
+    if scfg.kf_min_coverage > 0 and not kf_due and cooled:
+        if cov is None:
+            out, cov = _coverage_render(view)
         cov_trigger = cov < scfg.kf_min_coverage
 
     if kf_due or cov_trigger:

@@ -147,11 +147,13 @@ class TrackingConfig:
     freeze_binning: bool = False
     bin_margin_px: float = 8.0
     # True: classic LM — every GN step is validated by a dedicated
-    # residual render before acceptance (2 renders/iteration).  False:
-    # deferred accept — the NEXT iteration's dual render doubles as the
-    # evaluation of the previous trial step (reject = halve the step),
-    # 1 dual render/iteration total
-    line_search: bool = True
+    # residual render before acceptance (2 renders/iteration).  False
+    # (default): deferred accept — the NEXT iteration's dual render
+    # doubles as the evaluation of the previous trial step (reject =
+    # halve the step), 1 dual render/iteration total.  Chip A/B at
+    # 1200x680/100k (2026-08-19): 240 -> 174 ms/tracked frame at the
+    # SAME converged pose error (4.1e-5)
+    line_search: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -227,9 +229,20 @@ def _track_gn_jit(model, view0, rgb, depth, cfg: RasterConfig,
 
     if tcfg.freeze_binning:
         from ..ops.rasterize import bin_for_view
+        from ..ops.binning import default_max_instances
+        # the margin dilates every footprint by up to margin px per side,
+        # growing the instance count by ~(1 + m/tw)(1 + m/th); scale the
+        # budget to match or the margin binning overflows and silently
+        # drops the deepest REAL instances (budgets are typically sized
+        # 1.1-2.5x the unmargined count)
+        mi = cfg.max_instances or default_max_instances(
+            model.means3D.shape[0], cfg.instance_multiplier)
+        m = tcfg.bin_margin_px
+        scale = (1.0 + m / cfg.tile_w) * (1.0 + m / cfg.tile_h)
+        mi = int(-(-int(mi * scale) // 1024) * 1024)
         binn = bin_for_view(
             model.means3D, cam_of(view0),
-            cfg.replace(bin_margin_px=tcfg.bin_margin_px), **kwm)
+            cfg.replace(bin_margin_px=m), max_instances=mi, **kwm)
         mk = dict(mk, binn=binn)
 
     def res_of(out, m):
@@ -499,10 +512,23 @@ class MappingConfig:
     w_depth: float = 0.5
     densify_grad_threshold: float = 2e-4
     uncertainty_prune: float = 0.0  # 0 disables
+    # Global exponential decay on the GEOMETRY learning rates (means,
+    # scales, rotations): x lr_decay every lr_decay_steps map steps,
+    # floored at lr_decay_floor of the initial rate.  1.0 = off.  The
+    # 3DGS/CG-SLAM pattern: early steps move geometry freely while the map
+    # is raw; as it matures, large geometry steps under a narrow keyframe
+    # window destabilize previously-converged regions (the round-3
+    # heavier-mapping divergence, BASELINE.md) — appearance leaves
+    # (opacity, SH) keep their full rate throughout.
+    lr_decay: float = 1.0
+    lr_decay_steps: int = 500
+    lr_decay_floor: float = 0.1
 
 
 PARAM_FIELDS = ("means3D", "scales_log", "rotations", "opacities_logit",
                 "sh")
+
+GEOMETRY_FIELDS = ("means3D", "scales_log", "rotations")
 
 
 def model_params(model: GaussianModel) -> dict:
@@ -512,14 +538,24 @@ def model_params(model: GaussianModel) -> dict:
 
 def make_map_optimizer(mcfg: MappingConfig):
     """Per-leaf learning rates like 3DGS's grouped Adam."""
+    lrs = {
+        "means3D": mcfg.lr_means,
+        "scales_log": mcfg.lr_scales,
+        "rotations": mcfg.lr_rotations,
+        "opacities_logit": mcfg.lr_opacities,
+        "sh": mcfg.lr_sh,
+    }
+
+    def rate(k):
+        lr = lrs[k]
+        if mcfg.lr_decay < 1.0 and k in GEOMETRY_FIELDS:
+            return optax.exponential_decay(
+                init_value=lr, transition_steps=mcfg.lr_decay_steps,
+                decay_rate=mcfg.lr_decay, end_value=lr * mcfg.lr_decay_floor)
+        return lr
+
     return optax.multi_transform(
-        {
-            "means3D": optax.adam(mcfg.lr_means),
-            "scales_log": optax.adam(mcfg.lr_scales),
-            "rotations": optax.adam(mcfg.lr_rotations),
-            "opacities_logit": optax.adam(mcfg.lr_opacities),
-            "sh": optax.adam(mcfg.lr_sh),
-        },
+        {k: optax.adam(rate(k)) for k in PARAM_FIELDS},
         {k: k for k in PARAM_FIELDS},
     )
 

@@ -407,13 +407,18 @@ def blend_chunk_fwd_jvp(
     packed_rows=None,
     want_instance_stats: bool = False,
     tan_depth_med=None,
+    tan_conic=(),
 ):
     """Forward chunk plus exact pose-tangent propagation (K tangents).
 
-    Tangents enter only through the splat centers and depths
+    Tangents enter through the splat centers and depths
     (``tan_xy`` K x [G, 2], ``tan_depth`` K x [G]) — the light variant's own
     pose-Jacobian design: the Sigma2D (conic) branch is dropped
     (README.md:53-58) and SH color pose terms don't exist at sh_degree 0.
+    Passing ``tan_conic`` (K x [G, 3]: dA, dB, dC) additionally propagates
+    the Sigma2D/EWA branch — the full variant's pose Jacobian
+    (full backward.cu:243-302 in reverse mode) — via
+    ``dpower += -0.5 dx^2 dA - dx dy dB - 0.5 dy^2 dC``.
     Derivation: ``alpha = min(cap, op * exp(power))`` gives
     ``dalpha = alpha * dpower`` on uncapped lanes (0 on capped);
     ``dpower = -(A dxp + B dyp) dx - (C dyp + B dxp) dy``;
@@ -464,6 +469,11 @@ def blend_chunk_fwd_jvp(
     new_s, new_col, new_dep, new_wgt, new_med = [], [], [], [], []
     for k in range(k_t):
         dpow = -(gx * tan_xy[k][:, 0:1] + gy * tan_xy[k][:, 1:2])  # [G, Q]
+        if len(tan_conic):
+            ta, tb2, tc2 = (tan_conic[k][:, 0:1], tan_conic[k][:, 1:2],
+                            tan_conic[k][:, 2:3])
+            dpow = dpow - (0.5 * ta * dxp + tb2 * dyp) * dxp \
+                - 0.5 * tc2 * dyp * dyp
         s = rate * dpow
         s_tot = carry.s[k][None, :] + csum(s)       # inclusive global S
         s_excl = s_tot - s

@@ -577,16 +577,24 @@ def rasterize_with_pose_jvp(
         colors_precomp=colors_precomp, scale_modifier=scale_modifier,
     )
 
-    def xy_depth_of_view(vm):
+    # full-variant pose Jacobian: additionally linearize the conic through
+    # computeCov2D (the Sigma2D/EWA branch, full backward.cu:243-302 in
+    # forward mode).  Light variant (default) linearizes centers + depths
+    # only, matching the reference light README.md:53-58.
+    full = bool(cfg.pose_cov2d_branch)
+
+    def feats_of_view(vm):
         cam2 = Camera(viewmatrix=vm, tanfovx=camera.tanfovx,
                       tanfovy=camera.tanfovy, height=h, width=w,
                       znear=camera.znear, zfar=camera.zfar)
         p = preprocess(means3D, cam2, cfg, **prep_kw)
+        if full:
+            return p.xy, p.depth, p.conic
         return p.xy, p.depth
 
     # one linearization, K cheap tangent evaluations (the pose enters the
     # per-Gaussian features through projection only)
-    _, lin = jax.linearize(xy_depth_of_view, camera.viewmatrix)
+    _, lin = jax.linearize(feats_of_view, camera.viewmatrix)
     tans = [lin(view_tangents[k]) for k in range(k_t)]
 
     prep = preprocess(means3D, camera, cfg, **prep_kw)
@@ -622,10 +630,13 @@ def rasterize_with_pose_jvp(
         ids = binn.gauss_id
         rng_start, rng_stop = binn.tile_start, binn.tile_stop
 
+    step = 6 if full else 3
     feat = jnp.concatenate(
         [prep.xy, prep.conic, prep.opacity[:, None], prep.color,
          prep.depth[:, None], prep.depth_sgview[:, None]]
-        + [t for dxy, dd in tans for t in (dxy, dd[:, None])], axis=1)
+        + [t for tk in tans
+           for t in ((tk[0], tk[1][:, None], tk[2]) if full
+                     else (tk[0], tk[1][:, None]))], axis=1)
     inst = feat[ids]
     inst_xy = inst[:, 0:2]
     inst_conic = inst[:, 2:5]
@@ -633,8 +644,11 @@ def rasterize_with_pose_jvp(
     inst_color = inst[:, 6:9]
     inst_depth = inst[:, 9]
     inst_depth_med = inst[:, 10]
-    tan_xy = tuple(inst[:, 11 + 3 * k: 13 + 3 * k] for k in range(k_t))
-    tan_depth = tuple(inst[:, 13 + 3 * k] for k in range(k_t))
+    tan_xy = tuple(inst[:, 11 + step * k: 13 + step * k]
+                   for k in range(k_t))
+    tan_depth = tuple(inst[:, 13 + step * k] for k in range(k_t))
+    tan_conic = tuple(inst[:, 14 + step * k: 17 + step * k]
+                      for k in range(k_t)) if full else ()
 
     gt_tiles = img_to_tiles(gt_depth, cfg.tile_h, cfg.tile_w)
 
@@ -645,6 +659,12 @@ def rasterize_with_pose_jvp(
         jvp_impl = render_pallas.core_fwd_jvp
     else:
         jvp_impl = tile_xla.core_fwd_jvp_xla
+    if full and (backend == "pallas" or mesh is not None):
+        raise ValueError(
+            "pose_cov2d_branch forward-mode (Sigma2D tangents) is "
+            "implemented on the single-device XLA jvp path only — pass "
+            "backend='xla' (the Pallas/sharded paths implement the "
+            "light-variant pose Jacobian, README.md:53-58)")
     if mesh is not None:
         from ..parallel.sharded import make_sharded_jvp_core
         call = make_sharded_jvp_core(mesh, tile_axis, jvp_impl, **kw)
@@ -652,6 +672,11 @@ def rasterize_with_pose_jvp(
             inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
             inst_depth_med, tan_xy, tan_depth,
             binn.tile_start, binn.tile_stop, gt_tiles)
+    elif full:
+        out, tano = jvp_impl(
+            inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
+            inst_depth_med, tan_xy, tan_depth,
+            rng_start, rng_stop, gt_tiles, tan_conic=tan_conic, **kw)
     else:
         out, tano = jvp_impl(
             inst_xy, inst_conic, inst_opac, inst_color, inst_depth,

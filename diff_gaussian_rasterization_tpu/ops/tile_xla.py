@@ -191,10 +191,14 @@ def core_fwd_jvp_xla(
     tile_start, tile_stop, gt_tiles,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 64, tile_index=None,
+    tan_conic=(),
 ):
     """Forward pass plus K exact pose tangents (``blend_chunk_fwd_jvp``).
 
     ``tan_xy``: K-tuple of [P-instances, 2]; ``tan_depth``: K-tuple of [I].
+    ``tan_conic`` (optional K-tuple of [I, 3]) additionally propagates the
+    Sigma2D/EWA pose branch — the full variant's Jacobian term (full
+    backward.cu:243-302); empty = light-variant surface.
     Returns (CoreOutputs, PoseTangents).  Instance stats (u_inst/npix) are
     produced like the forward's; tangents cover the differentiable image
     outputs only.
@@ -215,15 +219,15 @@ def core_fwd_jvp_xla(
     )
 
     def blend_fn(carry, axy, aconic, aopac, acolor, adepth, admed,
-                 atxy, atd, v, px, py, gt, base, gbase):
+                 atxy, atd, atc, v, px, py, gt, base, gbase):
         return blend.blend_chunk_fwd_jvp(
             carry, axy, aconic, aopac, acolor, adepth, admed, atxy, atd,
             v, px, py, gt, base, cfg, global_base=gbase,
-            want_instance_stats=True,
+            want_instance_stats=True, tan_conic=atc,
         )
 
     vblend = jax.vmap(
-        blend_fn, in_axes=(0,) * 9 + (0, 0, 0, 0, None, 0),
+        blend_fn, in_axes=(0,) * 10 + (0, 0, 0, 0, None, 0),
         out_axes=(0, 0, 0),
     )
 
@@ -269,6 +273,7 @@ def core_fwd_jvp_xla(
                     depth[idxc], depth_med[idxc],
                     tuple(tx[idxc] for tx in tan_xy),
                     tuple(td[idxc] for td in tan_depth),
+                    tuple(tc[idxc] for tc in tan_conic),
                     v, px, py, gt_t, k0, start + k0,
                 )
                 return (

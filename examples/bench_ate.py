@@ -55,6 +55,19 @@ def main():
     ap.add_argument("--window-select", default="nearest",
                     choices=["nearest", "random"])
     ap.add_argument("--coverage-map-iters", type=int, default=0)
+    ap.add_argument("--reloc-spike", type=float, default=0.0,
+                    help="re-track from nearest keyframes when the GN cost "
+                         "spikes past this factor of the recent median")
+    ap.add_argument("--reloc-candidates", type=int, default=2)
+    ap.add_argument("--lr-decay", type=float, default=1.0,
+                    help="geometry LR decay per --lr-decay-steps map steps")
+    ap.add_argument("--lr-decay-steps", type=int, default=500)
+    ap.add_argument("--freeze-binning", action="store_true",
+                    help="bin once per tracked frame, reuse across GN "
+                         "iterations (bin-margin px of slack)")
+    ap.add_argument("--bin-margin", type=float, default=8.0)
+    ap.add_argument("--no-line-search", action="store_true",
+                    help="deferred-accept GN: one dual render per iteration")
     ap.add_argument("--capacity", type=int, default=120_000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rgb-noise", type=float, default=0.01)
@@ -110,8 +123,13 @@ def main():
                                 sil_threshold=0.85,
                                 w_depth=args.track_w_depth,
                                 pyramid=args.pyramid,
-                                coarse_iters=args.coarse_iters),
-        mapping=MappingConfig(iters=args.map_iters),
+                                coarse_iters=args.coarse_iters,
+                                freeze_binning=args.freeze_binning,
+                                bin_margin_px=args.bin_margin,
+                                line_search=not args.no_line_search),
+        mapping=MappingConfig(iters=args.map_iters,
+                              lr_decay=args.lr_decay,
+                              lr_decay_steps=args.lr_decay_steps),
         capacity=args.capacity,
         keyframe_every=args.kf_every,
         map_every=args.kf_every,
@@ -124,6 +142,8 @@ def main():
         kf_min_coverage=args.kf_coverage,
         coverage_map_iters=args.coverage_map_iters,
         window_select=args.window_select,
+        reloc_spike=args.reloc_spike,
+        reloc_candidates=args.reloc_candidates,
     )
     data = list(zip([np.asarray(v) for v in views], frames))
     t1 = time.time()

@@ -88,6 +88,10 @@ def test_pallas_bwd_matches_xla():
 def test_rasterize_pallas_backend_end_to_end():
     scene, cam = make_scene(p=48, h=24, w=32, seed=13)
     kw = {k: v for k, v in scene.items() if k != "means3D"}
+    # chunk=128 = one compute chunk per DMA block: sub-chunking is covered
+    # by the kernel unit tests; interpret-mode wall time scales with the
+    # Python-level chunk loop, so the e2e test runs the coarse config
+    CFG = globals()["CFG"].replace(chunk=128)
 
     def loss(means, view, backend):
         from diff_gaussian_rasterization_tpu.camera import Camera
@@ -207,6 +211,9 @@ def test_pallas_sort_domain_reads_match_aligned():
     aligned-stream results, and the backward's aligned-domain gradient rows
     must land on exactly the slots binning's ``inv`` map points at."""
     scene, cam, binn, args, gt_tiles, kw = setup()
+    # sub-chunking is orthogonal to the read-path under test; the coarse
+    # chunk cuts interpret-mode wall time ~10x
+    kw = dict(kw, cfg=kw["cfg"].replace(chunk=128))
     cap = binn.gauss_sorted.shape[0]
 
     # nonzero shifts must actually occur or this test is vacuous

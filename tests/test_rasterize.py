@@ -280,6 +280,55 @@ def test_pose_jvp_matches_jacfwd():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_pose_jvp_full_variant_matches_jacfwd():
+    """cfg.pose_cov2d_branch=True: the one-pass JVP now ALSO propagates the
+    Sigma2D/EWA conic tangents (full backward.cu:243-302 in forward mode)
+    and must match jacfwd of the full-branch dense pipeline — the branch
+    the light surface documents as dropped (~11% Frobenius on anisotropic
+    scenes, test_pose_jvp_sigma2d_branch_bound)."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.ops.rasterize import (
+        rasterize_with_pose_jvp,
+    )
+
+    cfg = CFG.replace(pose_cov2d_branch=True)
+    scene, cam = make_scene(p=96, h=32, w=40, seed=21)
+    kw = {k: v for k, v in scene.items()
+          if k not in ("means3D", "bg", "gt_depth")}
+    view0 = cam.viewmatrix
+    tw_basis = jax.jacfwd(lambda xi: lie.apply_twist(view0, xi))(
+        jnp.zeros((6,), jnp.float32))
+    tangents = jnp.moveaxis(tw_basis, -1, 0)
+
+    j = rasterize_with_pose_jvp(
+        scene["means3D"], cam, cfg, tangents, bg=scene["bg"],
+        gt_depth=scene["gt_depth"], backend="xla", tile_batch=4, **kw)
+
+    def render_of_xi(xi):
+        view = lie.apply_twist(view0, xi)
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height,
+                      width=cam.width)
+        out = rasterize(scene["means3D"], cam2, cfg, backend="xla",
+                        tile_batch=4, use_custom_vjp=False, bg=scene["bg"],
+                        gt_depth=scene["gt_depth"], **kw)
+        return (out.color, out.depth[0], out.opacity_map[0])
+
+    jac = jax.jacfwd(render_of_xi)(jnp.zeros((6,), jnp.float32))
+    for got, want, name in (
+            (j.color, jnp.moveaxis(jac[0], -1, 0), "color"),
+            (j.depth, jnp.moveaxis(jac[1], -1, 0), "depth"),
+            (j.opacity_map, jnp.moveaxis(jac[2], -1, 0), "opacity_map")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+    # the light surface must NOT silently masquerade as full on the
+    # unsupported paths
+    with pytest.raises(ValueError):
+        rasterize_with_pose_jvp(
+            scene["means3D"], cam, cfg, tangents, backend="pallas", **kw)
+
+
 def test_pose_jvp_sigma2d_branch_bound():
     """Quantify the Σ2D/conic tangent branch the pose JVP drops by
     construction (light-variant semantics, reference README.md:53-58).

@@ -610,3 +610,69 @@ def test_coverage_trigger_cooldown(monkeypatch):
     # zero coverage every frame: without the cooldown this inserts 9
     # keyframes; with cooldown=3 only every 3rd frame triggers
     assert state.kf_idx == [0, 3, 6, 9], state.kf_idx
+
+
+@pytest.mark.quick
+def test_relocalization_rescues_bad_motion_init():
+    """reloc_spike: when the motion-model init lands tracking in a wrong
+    basin (cost spike vs the recent baseline), slam_step re-tracks from
+    the nearest keyframe poses and keeps the best result."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.models.runner import (
+        init_slam, slam_step,
+    )
+
+    h, w = 24, 32
+    cam = Camera(viewmatrix=jnp.eye(4), tanfovx=0.7, tanfovy=0.55,
+                 height=h, width=w)
+    cfg = RasterConfig(tile_h=8, tile_w=8, chunk=16, instance_multiplier=12)
+    gt_model = random_room_model(capacity=256, n=256, seed=3)
+    views = orbit_trajectory(8)
+    frames = render_sequence(gt_model, views, cam, cfg)
+    scfg = SLAMConfig(
+        raster=cfg, tracking=TrackingConfig(iters=4, sil_threshold=0.5),
+        mapping=MappingConfig(iters=2), capacity=1024, keyframe_every=2,
+        map_every=2, window=2, seed_every_px=4, init_iters=10,
+        motion_model=False, reloc_spike=3.0, reloc_candidates=2,
+        reloc_track_iters=12,
+    )
+    state = init_slam(jnp.asarray(views[0]), frames[0], cam, scfg)
+    for i in range(1, 6):
+        state, _ = slam_step(state, frames[i], cam, scfg, i)
+    base_costs = list(state.track_costs)
+
+    # wreck the next frame's initialization: overwrite the last estimate
+    # with a far-off pose so view0 starts outside the basin
+    xi_bad = jnp.asarray([0.4, -0.3, 0.35, 0.25, -0.3, 0.2])
+    state.est_views[-1] = lie.apply_twist(state.est_views[-1], xi_bad)
+
+    import dataclasses as dc
+    state2 = dc.replace(state)  # shallow copy is fine: we only read poses
+    state2.est_views = list(state.est_views)
+    state2.track_costs = list(state.track_costs)
+
+    state, cost_reloc = slam_step(state, frames[6], cam, scfg, 6)
+
+    # and the same wrecked init with relocalization off for comparison
+    scfg_off = dc.replace(scfg, reloc_spike=0.0)
+    state2, cost_noreloc = slam_step(state2, frames[6], cam, scfg_off, 6)
+
+    def pose_err(a, b):
+        ra = np.asarray(a)[:3, :3]
+        rb = np.asarray(b)[:3, :3]
+        cos = np.clip((np.trace(ra.T @ rb) - 1) / 2, -1, 1)
+        return (float(np.arccos(cos)),
+                float(np.linalg.norm(np.asarray(a)[3, :3]
+                                     - np.asarray(b)[3, :3])))
+
+    r_reloc, t_reloc = pose_err(state.est_views[-1], views[6])
+    r_lost, t_lost = pose_err(state2.est_views[-1], views[6])
+    assert np.isfinite(cost_reloc) and np.isfinite(cost_noreloc)
+    # the un-relocalized track is LOST (that is the scenario; note its raw
+    # cost looks healthy because the silhouette mask collapsed — exactly
+    # why the detector uses coverage, not cost alone)
+    assert r_lost > 0.2, (r_lost, t_lost)
+    # relocalization from the nearest keyframe pose must recover it
+    assert r_reloc < 0.3 * r_lost, (r_reloc, r_lost)
+    assert t_reloc < 0.3 * t_lost, (t_reloc, t_lost)
+    assert base_costs  # baseline history existed for the detector

