@@ -200,7 +200,9 @@ def main():
     # cumsum/cumprod ride the otherwise-idle MXU instead of log-doubling on
     # the VPU.
     cfg = RasterConfig(tile_h=32, tile_w=32,
-                       scan_sum_mm=True, scan_prod_mm=True)
+                       scan_sum_mm=True, scan_prod_mm=True,
+                       bin_row_gather=os.environ.get(
+                           "DGR_BIN_ROW_GATHER", "0") == "1")
     scene = make_scene()
     kw = {k: v for k, v in scene.items() if k != "means3D"}
     view = jnp.eye(4, dtype=jnp.float32)

@@ -69,6 +69,10 @@ class RasterConfig:
     # iterations (the reference re-sorts every render; see
     # rasterize(binn=...)).
     bin_margin_px: float = 0.0
+    # Binning expansion: False = 12-column delta-scatter + prefix scan;
+    # True = 1-column marks scan + per-instance row gather of the packed
+    # per-Gaussian table (chip A/B knob; see binning.bin_gaussians).
+    bin_row_gather: bool = False
 
     # --- parity quirks (see reference SURVEY appendix A) ---
     # The reference uses quaternions unnormalized (forward.cu:127, the

@@ -98,7 +98,8 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
                   max_instances: int, align: int = 1,
                   tile_w: int = 0, tile_h: int = 0,
                   alpha_min: float = 15.0 / 255.0,
-                  margin_px: float = 0.0) -> Binned:
+                  margin_px: float = 0.0,
+                  row_gather: bool = False) -> Binned:
     """Bin splats into per-tile depth-sorted instance segments.
 
     ``tile_w``/``tile_h`` (pixels) enable the exact ellipse-tile overlap
@@ -148,11 +149,24 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
          bi(sg(prep.conic[:, 2])),
          bi(sg(prep.xy[:, 0])), bi(sg(prep.xy[:, 1])),
          bi(lvl)], axis=1)                                        # [P, 12]
-    deltas = cols - jnp.concatenate(
-        [jnp.zeros((1, 12), jnp.int32), cols[:-1]], axis=0)
-    acc = jnp.zeros((cap, 12), jnp.int32).at[starts].add(deltas, mode="drop")
-    acc = jnp.cumsum(acc, axis=0)
-    g = jnp.clip(acc[:, 0], 0, p - 1)
+    if row_gather:
+        # 1-column variant: delta-scan ONLY the gaussian index (the marks
+        # trick), then one [P, 16]-row gather for the other 11 columns —
+        # measured 1.7x cheaper than the 12-column delta-scan on v5e
+        # (prefix sums are VPU-serial in the minor axis; the row gather
+        # rides the copy engine).  Rows padded to 16 columns: narrower
+        # rows get a strided layout that gathers ~4x slower.
+        g = jnp.clip(_expand_ids(starts, cap), 0, p - 1)
+        colsp = jnp.concatenate(
+            [cols, jnp.zeros((p, 4), jnp.int32)], axis=1)         # [P, 16]
+        acc = colsp[g]                                            # [cap, 16]
+    else:
+        deltas = cols - jnp.concatenate(
+            [jnp.zeros((1, 12), jnp.int32), cols[:-1]], axis=0)
+        acc = jnp.zeros((cap, 12), jnp.int32).at[starts].add(
+            deltas, mode="drop")
+        acc = jnp.cumsum(acc, axis=0)
+        g = jnp.clip(acc[:, 0], 0, p - 1)
     local = i - acc[:, 1]
     rw = acc[:, 4]
     dy = local // rw

@@ -323,7 +323,8 @@ def bin_for_view(
                          align=INSTANCE_ALIGN,
                          tile_w=cfg.tile_w, tile_h=cfg.tile_h,
                          alpha_min=cfg.alpha_min,
-                         margin_px=cfg.bin_margin_px)
+                         margin_px=cfg.bin_margin_px,
+                         row_gather=cfg.bin_row_gather)
 
 
 def rasterize(
@@ -413,7 +414,8 @@ def rasterize(
                              align=INSTANCE_ALIGN,
                              tile_w=cfg.tile_w, tile_h=cfg.tile_h,
                              alpha_min=cfg.alpha_min,
-                             margin_px=cfg.bin_margin_px)
+                             margin_px=cfg.bin_margin_px,
+                             row_gather=cfg.bin_row_gather)
     else:
         max_instances = (binn.gauss_sorted if binn.gauss_sorted is not None
                          else binn.gauss_id).shape[0]
@@ -609,7 +611,8 @@ def rasterize_with_pose_jvp(
                              align=INSTANCE_ALIGN,
                              tile_w=cfg.tile_w, tile_h=cfg.tile_h,
                              alpha_min=cfg.alpha_min,
-                             margin_px=cfg.bin_margin_px)
+                             margin_px=cfg.bin_margin_px,
+                             row_gather=cfg.bin_row_gather)
     else:
         max_instances = (binn.gauss_sorted if binn.gauss_sorted is not None
                          else binn.gauss_id).shape[0]

@@ -36,7 +36,7 @@ def main():
     # at pyr>=2); wired here so the ATE config actually uses the lever
     ap.add_argument("--pyramid", type=int, default=2)
     ap.add_argument("--coarse-iters", type=int, default=4)
-    ap.add_argument("--map-iters", type=int, default=15)
+    ap.add_argument("--map-iters", type=int, default=30)
     ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--refine-every", type=int, default=4)
     ap.add_argument("--refine-cost-gate", type=float, default=0.0)
@@ -59,9 +59,9 @@ def main():
                     help="re-track from nearest keyframes when the GN cost "
                          "spikes past this factor of the recent median")
     ap.add_argument("--reloc-candidates", type=int, default=2)
-    ap.add_argument("--lr-decay", type=float, default=1.0,
+    ap.add_argument("--lr-decay", type=float, default=0.7,
                     help="geometry LR decay per --lr-decay-steps map steps")
-    ap.add_argument("--lr-decay-steps", type=int, default=500)
+    ap.add_argument("--lr-decay-steps", type=int, default=300)
     ap.add_argument("--freeze-binning", action="store_true",
                     help="bin once per tracked frame, reuse across GN "
                          "iterations (bin-margin px of slack)")
