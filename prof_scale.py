@@ -46,13 +46,14 @@ CAP = 16384
 BENCH_CAP = 258048          # round-3/4 bench instance budget (1200x680/100k)
 BENCH_TILES = 836
 
-# Measured single-chip stage split at the bench point (22.88 ms/step,
-# chip trace 2026-08-19): Pallas fwd 3.84 + bwd 6.67 + MXU segment-sum
-# 1.52 = 12.03 ms rides the tile/instance shards; the remaining
-# sort/scan/gather glue + dispatch (~10.85 ms) is replicated in the
-# current design (every chip re-bins the full frame).
-T_TILE_MS = 12.03
-T_REPL_MS = 22.88 - T_TILE_MS
+# Measured single-chip stage split at the bench point (19.49 ms/step,
+# round-4 fused sort-domain path, chip trace 2026-08-19): Pallas fwd
+# 3.99 + bwd 6.73 + MXU segment-sum 1.52 = 12.24 ms rides the
+# tile/instance shards; the remaining sort/gather/pack glue + dispatch
+# (~7.25 ms) is replicated in the current design (every chip re-bins
+# the full frame).
+T_TILE_MS = 12.24
+T_REPL_MS = 19.49 - T_TILE_MS
 # v5e ICI: ~4 links x ~50 GB/s usable per direction; ring all-reduce
 # moves 2*(N-1)/N * bytes per chip.  100 GB/s effective per chip is the
 # model assumption (documented, falsifiable on real hardware).
