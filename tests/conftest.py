@@ -13,3 +13,15 @@ import jax  # noqa: E402
 # The axon sitecustomize force-registers the TPU backend and sets
 # jax_platforms="axon,cpu"; pin tests to CPU regardless.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the CPU test mesh: the heavy equivalence
+# tests are compile-dominated (sharded SLAM graphs, Pallas-interpret
+# kernels), so warm re-runs of the suite drop from ~15 min to a few
+# minutes.  Separate directory from the TPU bench cache to keep the two
+# backends' artifacts distinguishable on disk.
+from diff_gaussian_rasterization_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache,
+)
+
+enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_cpu"))
