@@ -56,6 +56,45 @@ def test_forward_parity_colors_precomp():
     assert_outputs_close(a, b)
 
 
+@pytest.mark.quick
+def test_bin_row_gather_bit_identical():
+    """The 1-column marks-scan + row-gather binning expansion
+    (``RasterConfig.bin_row_gather``) must be BIT-identical to the
+    12-column delta-scan through the full op — same instance stream in a
+    different construction order, so forward outputs and every gradient
+    must match exactly before the flag can be adopted on chip."""
+    scene, cam = make_scene(p=96, h=32, w=40, seed=1)
+    kw = dict(scene)
+    means = kw.pop("means3D")
+    cfg_rg = RasterConfig(tile_h=8, tile_w=8, chunk=16, bin_row_gather=True)
+
+    def loss(cfg, m, v):
+        out = rasterize(m, Camera(viewmatrix=v, tanfovx=cam.tanfovx,
+                                  tanfovy=cam.tanfovy, height=cam.height,
+                                  width=cam.width),
+                        cfg, backend="xla", tile_batch=4, **kw)
+        return (jnp.sum(out.color * out.color) + jnp.sum(out.depth)
+                + 0.5 * jnp.sum(out.opacity_map)), out
+
+    v0 = jnp.asarray(cam.viewmatrix)
+    (l_a, out_a), g_a = jax.value_and_grad(
+        lambda m, v: loss(CFG, m, v), argnums=(0, 1), has_aux=True)(
+            means, v0)
+    (l_b, out_b), g_b = jax.value_and_grad(
+        lambda m, v: loss(cfg_rg, m, v), argnums=(0, 1), has_aux=True)(
+            means, v0)
+    np.testing.assert_array_equal(np.asarray(out_a.color),
+                                  np.asarray(out_b.color))
+    np.testing.assert_array_equal(np.asarray(out_a.depth),
+                                  np.asarray(out_b.depth))
+    np.testing.assert_array_equal(np.asarray(out_a.radii),
+                                  np.asarray(out_b.radii))
+    assert int(out_a.num_rendered) == int(out_b.num_rendered)
+    np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_b))
+    for ga, gb in zip(g_a, g_b):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
 def test_forward_parity_sh():
     scene, cam = make_scene(p=64, h=24, w=32, seed=4, sh_degree=3)
     a, b = run_both(scene, cam)
