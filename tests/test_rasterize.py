@@ -62,7 +62,13 @@ def test_bin_row_gather_bit_identical():
     (``RasterConfig.bin_row_gather``) must be BIT-identical to the
     12-column delta-scan through the full op — same instance stream in a
     different construction order, so forward outputs and every gradient
-    must match exactly before the flag can be adopted on chip."""
+    must match exactly before the flag can be adopted on chip.
+
+    Runs the XLA backend only: the flag changes ``bin_gaussians``'s
+    expansion, which is shared code strictly UPSTREAM of both backend
+    kernels (both consume the same ``Binned``), so XLA-path identity
+    covers the Pallas chip path too.  (Chip A/B 2026-08-20: the variant
+    LOST, 47.8 vs 51.3 renders/s — kept as a tested knob, not default.)"""
     scene, cam = make_scene(p=96, h=32, w=40, seed=1)
     kw = dict(scene)
     means = kw.pop("means3D")
