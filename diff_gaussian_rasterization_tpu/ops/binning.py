@@ -90,7 +90,8 @@ def _expand_ids(starts, cap: int):
     take an inclusive prefix sum.  Gaussians with zero tiles share a start
     with their successor; the accumulated marks keep the count exact.
     """
-    marks = jnp.zeros((cap,), jnp.int32).at[starts].add(1, mode="drop")
+    marks = jnp.zeros((cap,), jnp.int32).at[starts].add(
+        jnp.int32(1), mode="drop")
     return jnp.cumsum(marks) - 1
 
 
@@ -99,7 +100,8 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
                   tile_w: int = 0, tile_h: int = 0,
                   alpha_min: float = 15.0 / 255.0,
                   margin_px: float = 0.0,
-                  row_gather: bool = False) -> Binned:
+                  row_gather: bool = False,
+                  row_offset=0) -> Binned:
     """Bin splats into per-tile depth-sorted instance segments.
 
     ``tile_w``/``tile_h`` (pixels) enable the exact ellipse-tile overlap
@@ -109,6 +111,13 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
     ``margin_px`` dilates the cull's tile box (pass ``cfg.bin_margin_px``,
     which must also have dilated the preprocess rects) so the instance set
     stays valid for poses within that image motion of the binning pose.
+    ``row_offset`` (int scalar, may be traced) shifts the ellipse cull's
+    tile-row pixel coordinates: when binning a tile-row *band* whose
+    ``rect_min``/``tiles_touched`` were clipped and shifted to local rows
+    (see :func:`bin_gaussians_band`), the cull must still evaluate the
+    splat at its GLOBAL pixel position — adding the integer offset before
+    the float conversion keeps the test bitwise identical to the full-grid
+    binning (integer tile rows are exact in f32).
     """
     p = prep.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -189,7 +198,8 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
         ca, cb, cc = bf(6), bf(7), bf(8)
         dx0 = tx.astype(jnp.float32) * tile_w - bf(9) - margin_px
         dx1 = dx0 + (tile_w - 1) + 2.0 * margin_px
-        dy0 = ty.astype(jnp.float32) * tile_h - bf(10) - margin_px
+        dy0 = (ty + row_offset).astype(jnp.float32) * tile_h - bf(10) \
+            - margin_px
         dy1 = dy0 + (tile_h - 1) + 2.0 * margin_px
         inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
         safe_a = jnp.maximum(ca, 1e-12)
@@ -305,6 +315,45 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
         num_rendered=total,
         overflow=total > cap,
     )
+
+
+def bin_gaussians_band(prep: Preprocessed, tiles_x: int, band_y0,
+                       band_rows: int, max_instances: int, *,
+                       align: int = 1, tile_w: int = 0, tile_h: int = 0,
+                       alpha_min: float = 15.0 / 255.0,
+                       margin_px: float = 0.0,
+                       row_gather: bool = False) -> Binned:
+    """Bin ONLY the tiles in rows ``[band_y0, band_y0 + band_rows)``.
+
+    The sharded-binning building block (each device of a tile-sharded mesh
+    bins its own tile-row band — the multi-chip answer to the reference
+    re-running duplicateWithKeys + RadixSort for the whole frame per render,
+    rasterizer_impl.cu:283-324).  Local tile ids span
+    ``[0, band_rows * tiles_x)``; ``band_y0`` may be a traced scalar
+    (``axis_index * band_rows`` inside shard_map).
+
+    Per-tile segments are BIT-identical to the corresponding slice of the
+    full-grid :func:`bin_gaussians`: instances are enumerated Gaussian-major
+    and row-major within each splat's rect in both, so restricting the rect
+    rows to the band preserves the relative order of every surviving
+    instance, and the stable (tile, depth) sort sees the same keys — the
+    ellipse cull evaluates at global pixel coordinates via ``row_offset``.
+    """
+    rmin, rmax = prep.rect_min, prep.rect_max
+    band_y0 = jnp.asarray(band_y0, jnp.int32)
+    y0 = jnp.clip(rmin[:, 1], band_y0, band_y0 + band_rows)
+    y1 = jnp.clip(rmax[:, 1], band_y0, band_y0 + band_rows)
+    rows = jnp.maximum(y1 - y0, 0)
+    width = rmax[:, 0] - rmin[:, 0]
+    tt = jnp.where(prep.tiles_touched > 0, rows * width, 0)
+    prep2 = prep._replace(
+        tiles_touched=tt,
+        rect_min=jnp.stack([rmin[:, 0], y0 - band_y0], -1),
+    )
+    return bin_gaussians(prep2, tiles_x, band_rows, max_instances,
+                         align=align, tile_w=tile_w, tile_h=tile_h,
+                         alpha_min=alpha_min, margin_px=margin_px,
+                         row_gather=row_gather, row_offset=band_y0)
 
 
 def default_max_instances(p: int, multiplier: int) -> int:

@@ -352,6 +352,8 @@ def rasterize(
     tile_axis: str = "tile",
     use_custom_vjp: bool = True,
     binn: Binned = None,
+    shard_binning: bool = False,
+    max_instances_per_shard: int = None,
 ) -> RenderOutputs:
     """Render Gaussians; differentiable w.r.t. all parameters and the pose.
 
@@ -367,6 +369,13 @@ def rasterize(
     this call's pose (``cfg.bin_margin_px`` at bin time buys that slack);
     the blend's validity mask zeroes instances whose splat no longer
     reaches their tile, so at the binning pose the output is exact.
+
+    ``shard_binning`` (requires ``mesh``): bin inside the tile shard_map —
+    each device expands/sorts/gathers only its own tile-row band instead of
+    replicating the full-frame binning (``parallel.shard_bin``).  Output
+    matches the unsharded render exactly; ``max_instances_per_shard`` sizes
+    each device's static budget (default cap * 2 / n; size from
+    ``parallel.shard_bin.band_instance_counts`` in production).
     """
     h, w = camera.height, camera.width
     dtype = means3D.dtype
@@ -405,6 +414,57 @@ def rasterize(
 
     tiles_x, tiles_y = grid_dims(h, w, cfg.tile_h, cfg.tile_w)
     p = means3D.shape[0]
+    if mesh is not None and shard_binning:
+        if not use_custom_vjp:
+            raise ValueError("shard_binning requires the custom-VJP path")
+        if max_instances is None:
+            max_instances = cfg.max_instances or default_max_instances(
+                p, cfg.instance_multiplier)
+        backend_sb = backend or cfg.backend
+        if backend_sb == "auto":
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            backend_sb = ("pallas" if on_tpu and cfg.tile_px % 128 == 0
+                          else "xla")
+        from ..parallel.shard_bin import (default_cap_per_shard,
+                                          make_shard_binned_core)
+        if max_instances_per_shard is None:
+            max_instances_per_shard = default_cap_per_shard(
+                max_instances, mesh.shape[tile_axis])
+        feat = jnp.concatenate(
+            [prep.xy, prep.conic, prep.opacity[:, None], prep.color,
+             prep.depth[:, None], prep.depth_sgview[:, None]], axis=1)
+        gt_tiles = img_to_tiles(gt_depth, cfg.tile_h, cfg.tile_w)
+        core = make_shard_binned_core(
+            mesh, tile_axis, prep, gt_tiles, cfg=cfg, tiles_x=tiles_x,
+            tiles_y=tiles_y, cap_per_shard=max_instances_per_shard,
+            height=h, width=w, backend=backend_sb, tile_batch=tile_batch)
+        sb = core(feat)
+        out = sb.core
+        t = tiles_x * tiles_y
+        trim = lambda x: x[:t]
+        color_tiles = trim(out.color) + trim(out.t_final)[:, None, :] \
+            * bg[None, :, None]
+        color_img = tiles_to_img(
+            jnp.moveaxis(color_tiles, 1, 0), h, w, cfg.tile_h, cfg.tile_w)
+        to_img = lambda x: tiles_to_img(trim(x), h, w, cfg.tile_h, cfg.tile_w)
+        var_tiles = trim(out.var)
+        if cfg.ref_depth_var:
+            var_tiles = var_tiles - sg(var_tiles)
+        return RenderOutputs(
+            color=color_img,
+            radii=prep.radius,
+            depth=to_img(out.depth)[None],
+            depth_median=to_img(out.median)[None],
+            depth_var=tiles_to_img(var_tiles, h, w, cfg.tile_h,
+                                   cfg.tile_w)[None],
+            opacity_map=to_img(out.weight)[None],
+            gau_uncertainty=sg(out.u_inst)[:, None],
+            gau_related_pixels=out.npix_inst[:, None],
+            n_contrib=to_img(out.n_contrib),
+            n_valid=to_img(out.n_valid),
+            num_rendered=sb.num_rendered,
+            overflow=sb.overflow,
+        )
     if binn is None:
         if max_instances is None:
             max_instances = cfg.max_instances or default_max_instances(

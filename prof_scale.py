@@ -1,18 +1,40 @@
-"""Scaling-efficiency report from the virtual device mesh.
+"""Scaling-efficiency report from the virtual device mesh (sharded binning).
 
 The north star (BASELINE.json) asks for scaling efficiency reported at
 1 chip / 1 host / N hosts.  Real multi-chip hardware is not reachable in
 this environment, so this harness makes the scaling claim *falsifiable*
-instead of asserted: for each device count it compiles the tile-sharded
-fwd+bwd render step on a virtual CPU mesh (identical shardings and
-collectives to the TPU path — XLA inserts the same all-reduce /
-all-gather ops), then reports
+instead of asserted.  For each device count it:
 
-  - per-step collective traffic (bytes by op kind, from the optimized HLO)
-  - instances and tiles per shard
-  - a projected N-chip renders/s from the measured single-chip stage
-    split (Pallas kernels shard with the tile axis; binning/gather glue
-    is replicated in the current design) and a ring-all-reduce ICI model.
+  1. compiles AND runs the round-5 sharded-binning fwd+bwd render step on
+     a virtual CPU mesh (``rasterize(..., mesh, shard_binning=True)`` —
+     identical shardings/collectives to the TPU path; XLA inserts the same
+     all-reduce / all-gather ops);
+  2. reads per-step collective traffic out of the optimized HLO, by kind;
+  3. computes the TRUE per-tile-band instance counts of the bench scene
+     (1200x680 / 100k Gaussians, seed 0 — the preprocess is cheap pure JAX
+     on CPU), so the skew term is measured, not assumed: the deepest band
+     bounds every instance-proportional stage on its shard;
+  4. projects N-chip renders/s from the measured single-chip stage split
+     (round-4 chip trace) with the skew-aware model below, for BOTH the
+     round-4 replicated-binning design and the sharded-binning design.
+
+Model (documented, falsifiable on real hardware):
+  t_sharded(n) = (T_KERN + T_INST) * max_band_frac(n)
+                 + T_TILE / n + T_REPL + comm(n)
+  t_replicated(n) = T_KERN * max_band_frac(n) + (T_INST + T_TILE + T_REPL2)
+                    + comm_r(n)
+  - T_KERN  = 12.24 ms  Pallas fwd/bwd/segment-sum (instance-proportional,
+              tile-sharded; round-4 trace)
+  - T_INST  = 4.0 ms    instance-proportional glue: 2-key sort 0.73 +
+              gather/pack fusions 2.26 + binning expansion 0.48 + cumsums
+              ~0.5 (round-4 per-ms attribution, BASELINE.md)
+  - T_TILE  = 0.86 ms   image-shaped slices/assembly (shards with tiles)
+  - T_REPL  = 19.49 - T_KERN - T_INST - T_TILE = 2.39 ms  preprocess +
+              dispatch + small replicated ops
+  - comm(n): measured HLO collective bytes, scaled to bench shape
+    (P-shaped all-reduces by the Gaussian ratio, image-shaped all-gathers
+    by the pixel ratio), charged at the ring rate — all-reduce moves
+    2*(N-1)/N of its payload per chip, all-gather (N-1)/N.
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python prof_scale.py
@@ -34,29 +56,28 @@ import numpy as np
 
 from diff_gaussian_rasterization_tpu.camera import Camera
 from diff_gaussian_rasterization_tpu.config import RasterConfig
+from diff_gaussian_rasterization_tpu.ops.projection import preprocess
 from diff_gaussian_rasterization_tpu.ops.rasterize import rasterize
 from diff_gaussian_rasterization_tpu.parallel.mesh import make_mesh
+from diff_gaussian_rasterization_tpu.parallel.shard_bin import (
+    band_instance_counts,
+)
 
-# Small shapes: the comm volume scales linearly with the instance budget
-# and tile count, so the HLO collective inventory at test scale maps to
-# bench scale by the ratio of budgets (reported below as both raw and
-# bench-scaled bytes).
+# Virtual-mesh test shapes; comm scales to bench shape by the ratios below.
 H, W, P = 128, 256, 8192
 CAP = 16384
-BENCH_CAP = 258048          # round-3/4 bench instance budget (1200x680/100k)
-BENCH_TILES = 836
+BENCH_H, BENCH_W, BENCH_P = 680, 1200, 100_000
+BENCH_TILE = 32
 
 # Measured single-chip stage split at the bench point (19.49 ms/step,
-# round-4 fused sort-domain path, chip trace 2026-08-19): Pallas fwd
-# 3.99 + bwd 6.73 + MXU segment-sum 1.52 = 12.24 ms rides the
-# tile/instance shards; the remaining sort/gather/pack glue + dispatch
-# (~7.25 ms) is replicated in the current design (every chip re-bins
-# the full frame).
-T_TILE_MS = 12.24
-T_REPL_MS = 19.49 - T_TILE_MS
-# v5e ICI: ~4 links x ~50 GB/s usable per direction; ring all-reduce
-# moves 2*(N-1)/N * bytes per chip.  100 GB/s effective per chip is the
-# model assumption (documented, falsifiable on real hardware).
+# round-4 fused sort-domain path, chip trace 2026-08-19); see module
+# docstring for the per-term provenance.
+T_KERN_MS = 12.24
+T_INST_MS = 4.0
+T_TILE_MS = 0.86
+T_REPL_MS = 19.49 - T_KERN_MS - T_INST_MS - T_TILE_MS
+# v5e ICI: ~4 links x ~50 GB/s usable per direction; 100 GB/s effective
+# per chip is the model assumption (documented, falsifiable).
 ICI_GBPS = 100.0
 
 _DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
@@ -87,32 +108,59 @@ def collective_bytes(hlo_text):
     return out
 
 
-def make_scene(seed=0):
+def make_scene(p, h, w, seed=0):
     rng = np.random.RandomState(seed)
-    means = rng.uniform(-2, 2, (P, 3))
-    means[:, 2] = rng.uniform(0.8, 6.0, P)
-    quats = rng.normal(size=(P, 4))
+    means = rng.uniform(-2, 2, (p, 3))
+    means[:, 2] = rng.uniform(0.8, 6.0, p)
+    quats = rng.normal(size=(p, 4))
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     return dict(
         means3D=jnp.asarray(means, jnp.float32),
         scales=jnp.asarray(np.exp(rng.uniform(np.log(0.01), np.log(0.05),
-                                              (P, 3))), jnp.float32),
+                                              (p, 3))), jnp.float32),
         rotations=jnp.asarray(quats, jnp.float32),
-        opacities=jnp.asarray(rng.uniform(0.2, 0.95, (P, 1)), jnp.float32),
-        colors_precomp=jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32),
+        opacities=jnp.asarray(rng.uniform(0.2, 0.95, (p, 1)), jnp.float32),
+        colors_precomp=jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32),
         bg=jnp.zeros(3, jnp.float32),
-        gt_depth=jnp.asarray(rng.uniform(0.8, 6, (H, W)), jnp.float32),
+        gt_depth=jnp.asarray(rng.uniform(0.8, 6, (h, w)), jnp.float32),
     )
+
+
+def bench_band_skew(max_n=8):
+    """Measured per-tile-band instance counts of the REAL bench scene.
+
+    Same scene constructor as bench.py (seed 0, 100k Gaussians, 1200x680,
+    32x32 tiles).  Returns {n: (max_count, mean_count, total)}.
+    """
+    cfg = RasterConfig(tile_h=BENCH_TILE, tile_w=BENCH_TILE)
+    scene = make_scene(BENCH_P, BENCH_H, BENCH_W)
+    cam = Camera(viewmatrix=jnp.eye(4, dtype=jnp.float32),
+                 tanfovx=0.82, tanfovy=0.47, height=BENCH_H, width=BENCH_W)
+    prep = preprocess(
+        scene["means3D"], cam, cfg, opacities=scene["opacities"],
+        scales=scene["scales"], rotations=scene["rotations"],
+        colors_precomp=scene["colors_precomp"])
+    tiles_y = -(-BENCH_H // BENCH_TILE)
+    out = {}
+    for n in (1, 2, 4, 8):
+        if n > max_n:
+            break
+        band_rows = -(-tiles_y // n)
+        c = np.asarray(band_instance_counts(prep, n, band_rows))
+        out[n] = (int(c.max()), float(c.mean()), int(c.sum()))
+    return out
 
 
 def main():
     n_avail = len(jax.devices())
-    scene = make_scene()
+    scene = make_scene(P, H, W)
     cfg = RasterConfig(tile_h=16, tile_w=16)
     view = jnp.eye(4, dtype=jnp.float32)
-    cam = Camera(viewmatrix=view, tanfovx=0.82, tanfovy=0.47,
-                 height=H, width=W)
     tiles = (H // 16) * (W // 16)
+
+    skew = bench_band_skew(n_avail)
+    p_ratio = BENCH_P / P
+    pix_ratio = (BENCH_H * BENCH_W) / (H * W)
 
     rows = []
     for n in (1, 2, 4, 8):
@@ -126,6 +174,8 @@ def main():
         if n > 1:
             kw["mesh"] = make_mesh(shape=(n,), axis_names=("tile",),
                                    devices=jax.devices()[:n])
+            kw["shard_binning"] = True
+            kw["max_instances_per_shard"] = CAP // n + 2048
 
         def loss(means, v):
             out = rasterize(means, Camera(
@@ -142,40 +192,70 @@ def main():
 
         comm = collective_bytes(hlo)
         raw = sum(v for k, v in comm.items() if not k.endswith("_count"))
-        # comm volume is dominated by per-instance gradient-row psums and
-        # scales with the instance budget; scale to the bench point
-        bench_bytes = raw * (BENCH_CAP / CAP)
-        # ring all-reduce: each chip moves 2*(N-1)/N of the payload
-        comm_ms = (2 * (n - 1) / max(n, 1) * bench_bytes
+        # Per-kind bench scaling: gradient psums are P(Gaussian)-shaped,
+        # gathers of the sharded image outputs are pixel-shaped.
+        scale = {"all-reduce": p_ratio, "reduce-scatter": p_ratio,
+                 "all-gather": pix_ratio, "collective-permute": pix_ratio}
+        # Ring per-chip traffic: all-reduce 2(N-1)/N, gather-like (N-1)/N.
+        factor = {"all-reduce": 2.0, "all-gather": 1.0,
+                  "reduce-scatter": 1.0, "collective-permute": 1.0}
+        bench_bytes = sum(v * scale.get(k, pix_ratio)
+                          for k, v in comm.items()
+                          if not k.endswith("_count"))
+        weighted = sum(v * scale.get(k, pix_ratio) * factor.get(k, 2.0)
+                       for k, v in comm.items() if not k.endswith("_count"))
+        comm_ms = ((n - 1) / max(n, 1) * weighted
                    / (ICI_GBPS * 1e9) * 1e3) if n > 1 else 0.0
-        t_n = T_TILE_MS / n + T_REPL_MS + comm_ms
-        renders = 1e3 / t_n
-        eff = (renders / (1e3 / (T_TILE_MS + T_REPL_MS))) / n
+
+        mx, mean, total = skew[n]
+        frac = mx / total
+        band_skew = mx / max(mean, 1.0)
+        t_shard = ((T_KERN_MS + T_INST_MS) * frac + T_TILE_MS / n
+                   + T_REPL_MS + comm_ms)
+        renders = 1e3 / t_shard
+        base = 1e3 / 19.49
+        eff = (renders / base) / n
+        # round-4 replicated-binning model for comparison (same skew-aware
+        # kernel term; glue fully replicated)
+        t_repl_design = (T_KERN_MS * frac + T_INST_MS + T_TILE_MS
+                         + T_REPL_MS + comm_ms)
         row = {
             "metric": "scaling_projection",
+            "design": "sharded_binning",
             "devices": n,
             "tiles_per_shard": -(-tiles // n),
             "instances_total": CAP,
             "collectives": comm,
             "comm_bytes_per_step": raw,
             "comm_bytes_bench_scale": int(bench_bytes),
-            "model": {"t_tile_ms": T_TILE_MS, "t_repl_ms": T_REPL_MS,
-                      "ici_gbps": ICI_GBPS, "comm_ms": round(comm_ms, 3)},
-            "projected_ms_per_render": round(t_n, 2),
+            "skew": {"bench_band_max": mx, "bench_band_mean": round(mean, 1),
+                     "bench_total": total, "max_over_mean":
+                     round(band_skew, 3), "max_frac": round(frac, 4)},
+            "model": {"t_kern_ms": T_KERN_MS, "t_inst_ms": T_INST_MS,
+                      "t_tile_ms": T_TILE_MS, "t_repl_ms":
+                      round(T_REPL_MS, 2), "ici_gbps": ICI_GBPS,
+                      "comm_ms": round(comm_ms, 3)},
+            "projected_ms_per_render": round(t_shard, 2),
             "projected_renders_per_s": round(renders, 1),
             "parallel_efficiency": round(eff, 3),
+            "replicated_binning_ms": round(t_repl_design, 2),
+            "replicated_binning_renders_per_s":
+                round(1e3 / t_repl_design, 1),
         }
         rows.append(row)
         print(json.dumps(row))
 
-    print("\ndevices  comm(MB/step)  proj ms  proj renders/s  efficiency",
+    print("\ndev  comm(MB)  skew  proj ms  renders/s  eff    (repl-bin r/s)",
           file=sys.stderr)
     for r in rows:
-        print(f"{r['devices']:7d}  "
-              f"{r['comm_bytes_bench_scale'] / 1e6:12.1f}  "
+        print(f"{r['devices']:3d}  "
+              f"{r['comm_bytes_bench_scale'] / 1e6:8.1f}  "
+              f"{r['skew']['max_over_mean']:4.2f}  "
               f"{r['projected_ms_per_render']:7.2f}  "
-              f"{r['projected_renders_per_s']:14.1f}  "
-              f"{r['parallel_efficiency']:10.3f}", file=sys.stderr)
+              f"{r['projected_renders_per_s']:9.1f}  "
+              f"{r['parallel_efficiency']:5.3f}  "
+              f"({r['replicated_binning_renders_per_s']:.1f})",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,138 @@ def test_tile_sharded_pallas_backend_matches_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.quick
+def test_shard_binned_render_and_grads_match_single_device():
+    """Sharded binning (each device bins only its tile-row band,
+    parallel.shard_bin) must reproduce the single-device render and every
+    gradient EXACTLY at the values level — the per-tile instance segments
+    are bit-identical by construction, so outputs match to collective-
+    summation tolerance (the [P,16] gradient psum reorders additions)."""
+    scene, cam = make_scene(p=96, h=32, w=40, seed=0)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    mesh = make_mesh(shape=(1, len(jax.devices())), axis_names=("kf", "tile"))
+
+    def render(mesh_arg, sb):
+        return rasterize(scene["means3D"], cam, CFG, backend="xla",
+                         tile_batch=4, mesh=mesh_arg, shard_binning=sb, **kw)
+
+    a = jax.jit(lambda: render(None, False))()
+    b = jax.jit(lambda: render(mesh, True))()
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.depth_median),
+                               np.asarray(b.depth_median), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.opacity_map),
+                               np.asarray(b.opacity_map), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.gau_uncertainty),
+                               np.asarray(b.gau_uncertainty), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.gau_related_pixels),
+                                  np.asarray(b.gau_related_pixels))
+    assert int(a.num_rendered) == int(b.num_rendered)
+    assert not bool(b.overflow)
+
+    def loss(means, view, mesh_arg, sb):
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height,
+                      width=cam.width)
+        out = rasterize(means, cam2, CFG, backend="xla", tile_batch=4,
+                        mesh=mesh_arg, shard_binning=sb, **kw)
+        return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                + 0.1 * jnp.sum(out.depth_median)
+                + 0.1 * jnp.sum(out.opacity_map))
+
+    g1 = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=(2, 3))(
+        scene["means3D"], cam.viewmatrix, None, False)
+    g2 = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=(2, 3))(
+        scene["means3D"], cam.viewmatrix, mesh, True)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shard_binned_pallas_matches_single_device():
+    """Sharded binning with the production Pallas kernels (interpret mode
+    on CPU): fused sort-domain reads + per-shard MXU segment reduction."""
+    cfg = RasterConfig(tile_h=8, tile_w=16, chunk=32)  # tile_px % 128 == 0
+    scene, cam = make_scene(p=96, h=32, w=64, seed=11)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    mesh = make_mesh(shape=(1, len(jax.devices())), axis_names=("kf", "tile"))
+
+    def loss(means, view, mesh_arg, sb):
+        cam2 = Camera(viewmatrix=view, tanfovx=cam.tanfovx,
+                      tanfovy=cam.tanfovy, height=cam.height,
+                      width=cam.width)
+        out = rasterize(means, cam2, cfg, backend="pallas",
+                        mesh=mesh_arg, shard_binning=sb, **kw)
+        return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                + 0.1 * jnp.sum(out.depth_median)
+                + 0.1 * jnp.sum(out.opacity_map))
+
+    def render(mesh_arg, sb):
+        return rasterize(scene["means3D"], cam, cfg, backend="pallas",
+                         mesh=mesh_arg, shard_binning=sb, **kw)
+
+    a = jax.jit(lambda: render(None, False))()
+    b = jax.jit(lambda: render(mesh, True))()
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.gau_uncertainty),
+                               np.asarray(b.gau_uncertainty), atol=1e-5)
+    assert int(a.num_rendered) == int(b.num_rendered)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(scene["means3D"], cam.viewmatrix,
+                                        None, False)
+    g2 = jax.grad(loss, argnums=(0, 1))(scene["means3D"], cam.viewmatrix,
+                                        mesh, True)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_shard_binned_overflow_reports_per_shard():
+    """A per-shard budget below the deepest band's true count must raise
+    the overflow flag (never a silent cap), and band_instance_counts must
+    sum to the global instance count."""
+    from diff_gaussian_rasterization_tpu.parallel.shard_bin import (
+        band_instance_counts,
+    )
+    from diff_gaussian_rasterization_tpu.ops.projection import preprocess
+    from diff_gaussian_rasterization_tpu.ops.tiling import grid_dims
+
+    scene, cam = make_scene(p=96, h=32, w=40, seed=2)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    n = len(jax.devices())
+    mesh = make_mesh(shape=(1, n), axis_names=("kf", "tile"))
+
+    prep = preprocess(scene["means3D"], cam, CFG,
+                      opacities=kw["opacities"], scales=kw["scales"],
+                      rotations=kw["rotations"],
+                      colors_precomp=kw["colors_precomp"])
+    tiles_x, tiles_y = grid_dims(cam.height, cam.width, CFG.tile_h,
+                                 CFG.tile_w)
+    band_rows = -(-tiles_y // n)
+    counts = np.asarray(band_instance_counts(prep, n, band_rows))
+    assert counts.sum() == int(np.asarray(prep.tiles_touched).sum())
+    deepest = int(counts.max())
+    assert deepest > 128, "scene too sparse for the overflow arm"
+
+    out = rasterize(scene["means3D"], cam, CFG, backend="xla", tile_batch=4,
+                    mesh=mesh, shard_binning=True,
+                    max_instances_per_shard=128, **kw)
+    assert bool(out.overflow)
+    ok = rasterize(scene["means3D"], cam, CFG, backend="xla", tile_batch=4,
+                   mesh=mesh, shard_binning=True,
+                   max_instances_per_shard=-(-deepest // 128) * 128, **kw)
+    assert not bool(ok.overflow)
+
+
 def test_gaussian_sharded_gather_visible_matches_replicated():
     # map sharded over devices; frustum all-gather of the visible subset
     # must reproduce the replicated render and route gradients back to the
