@@ -199,10 +199,19 @@ def main():
     # (each also wins alone: sum +1.42 ms, prod +1.59 ms).  The blend's
     # cumsum/cumprod ride the otherwise-idle MXU instead of log-doubling on
     # the VPU.
+    def _opt_bool(name):
+        v = os.environ.get(name, "")
+        return None if v == "" else v == "1"
+
+    _bc = os.environ.get("DGR_BWD_CHUNK", "")
     cfg = RasterConfig(tile_h=32, tile_w=32,
                        scan_sum_mm=True, scan_prod_mm=True,
                        bin_row_gather=os.environ.get(
-                           "DGR_BIN_ROW_GATHER", "0") == "1")
+                           "DGR_BIN_ROW_GATHER", "0") == "1",
+                       # backward-kernel A/B knobs (round-5 campaign)
+                       bwd_scan_sum_mm=_opt_bool("DGR_BWD_SCAN_SUM_MM"),
+                       bwd_scan_prod_mm=_opt_bool("DGR_BWD_SCAN_PROD_MM"),
+                       bwd_chunk=int(_bc) if _bc else None)
     scene = make_scene()
     kw = {k: v for k, v in scene.items() if k != "means3D"}
     view = jnp.eye(4, dtype=jnp.float32)

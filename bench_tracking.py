@@ -71,13 +71,21 @@ def main():
     # DGR_TRACK_FREEZE=1: bin once per frame (margin DGR_TRACK_MARGIN px)
     # and reuse across GN iterations.  DGR_TRACK_LS=0: deferred accept —
     # one dual render per iteration instead of dual + accept-check.
+    # DGR_TRACK_PYR>1 + DGR_TRACK_COARSE: coarse-to-fine — the coarse
+    # level costs 4^-l per render, so pyramid=2 with fewer full-res
+    # iterations trades basin size for speed (round-5 arm).
     import os
     tcfg = TrackingConfig(
         method=os.environ.get("DGR_TRACK_METHOD", "gn"),
-        iters=6,
+        iters=int(os.environ.get("DGR_TRACK_ITERS", 6)),
         freeze_binning=os.environ.get("DGR_TRACK_FREEZE", "0") == "1",
         bin_margin_px=float(os.environ.get("DGR_TRACK_MARGIN", 8.0)),
-        line_search=os.environ.get("DGR_TRACK_LS", "1") == "1",
+        # deferred-accept GN is the record config (round 4: 174 ms/frame
+        # at the same 4.1e-5 error) and the TrackingConfig default — the
+        # bench env default now matches it
+        line_search=os.environ.get("DGR_TRACK_LS", "0") == "1",
+        pyramid=int(os.environ.get("DGR_TRACK_PYR", 1)),
+        coarse_iters=int(os.environ.get("DGR_TRACK_COARSE", 3)),
     )
 
     # ground-truth frame rendered at identity; initial guess = small twist.
@@ -109,7 +117,10 @@ def main():
         "unit": "tracked frames/s",
         "method": tcfg.method, "iters": tcfg.iters,
         "freeze_binning": tcfg.freeze_binning,
+        "bin_margin_px": tcfg.bin_margin_px,
         "line_search": tcfg.line_search,
+        "pyramid": tcfg.pyramid,
+        "coarse_iters": tcfg.coarse_iters,
         "platform": platform,
         "gaussians": P,
         "ms_per_tracked_frame": round(t * 1e3, 3),

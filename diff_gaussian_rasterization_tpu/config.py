@@ -115,6 +115,23 @@ class RasterConfig:
     # share the same formulation so threshold decisions stay consistent.
     scan_sum_mm: bool = False
     scan_prod_mm: bool = False
+    # Per-pass overrides for the Pallas BACKWARD kernel only (None =
+    # inherit the flags above).  Rationale: the MXU-scan win was measured
+    # on the combined frame, but the bwd kernel keeps the MXU busier (the
+    # fused cotangent matmul + moment reductions + gradient rows), so the
+    # optimal scan backend may differ per pass — these are chip A/B knobs.
+    # CAVEAT (bwd_scan_prod_mm only): a bwd prod-scan formulation that
+    # differs from the forward's reconstructs p_incl/t_excl with ~1e-5
+    # relative drift, so contrib/median masks can flip for instances
+    # sitting exactly on the t_terminate / 0.5 thresholds — measurement
+    # knob, not a default.  bwd_scan_sum_mm is consistency-free (the
+    # cumsum only shapes gradient values); bwd_chunk regroups both scans'
+    # rounding (~1e-4 relative drift in p_incl), so it carries the same
+    # measure-zero mask-flip caveat in miniature.
+    bwd_scan_sum_mm: Optional[bool] = None
+    bwd_scan_prod_mm: Optional[bool] = None
+    # compute sub-chunk width for the Pallas backward only (None = chunk)
+    bwd_chunk: Optional[int] = None
 
     # --- backend selection ---
     backend: str = "auto"  # "pallas" | "xla" | "auto"
@@ -139,6 +156,18 @@ class RasterConfig:
 
     def replace(self, **kw) -> "RasterConfig":
         return dataclasses.replace(self, **kw)
+
+    def bwd_view(self) -> "RasterConfig":
+        """The config as seen by the Pallas backward kernel: per-pass
+        scan/chunk overrides folded into the shared fields."""
+        kw = {}
+        if self.bwd_scan_sum_mm is not None:
+            kw["scan_sum_mm"] = self.bwd_scan_sum_mm
+        if self.bwd_scan_prod_mm is not None:
+            kw["scan_prod_mm"] = self.bwd_scan_prod_mm
+        if self.bwd_chunk is not None:
+            kw["chunk"] = self.bwd_chunk
+        return self.replace(**kw) if kw else self
 
     @property
     def tile_px(self) -> int:

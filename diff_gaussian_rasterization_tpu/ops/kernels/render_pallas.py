@@ -886,6 +886,7 @@ def core_bwd(
     return_flat: bool = False,
 ):
     del tile_batch
+    cfg = cfg.bwd_view()  # per-pass scan/chunk overrides (chip A/B knobs)
     if interpret is None:
         interpret = _is_cpu()
     t = tile_start.shape[0]

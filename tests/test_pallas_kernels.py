@@ -204,6 +204,39 @@ def test_pallas_scan_mm_flags_match():
 
 
 @pytest.mark.quick
+def test_pallas_bwd_override_knobs_match():
+    """The per-pass backward knobs (cfg.bwd_scan_*_mm, cfg.bwd_chunk — the
+    round-5 chip A/B campaign) must not change gradients beyond rounding:
+    chunk width and the cumsum backend only regroup the scan's rounding
+    (the masks themselves are unchanged)."""
+    scene, cam = make_scene(p=48, h=24, w=32, seed=13)
+    kw = {k: v for k, v in scene.items() if k != "means3D"}
+    base = CFG.replace(scan_sum_mm=True, scan_prod_mm=True)
+
+    def grads(cfg):
+        def loss(m, v):
+            from diff_gaussian_rasterization_tpu.camera import Camera
+            cam2 = Camera(viewmatrix=v, tanfovx=cam.tanfovx,
+                          tanfovy=cam.tanfovy, height=cam.height,
+                          width=cam.width)
+            out = rasterize(m, cam2, cfg, backend="pallas", **kw)
+            return (jnp.sum(out.color) + 0.3 * jnp.sum(out.depth)
+                    + 0.1 * jnp.sum(out.opacity_map))
+        return jax.grad(loss, argnums=(0, 1))(scene["means3D"],
+                                              cam.viewmatrix)
+
+    ga = grads(base)
+    gb = grads(base.replace(bwd_chunk=4))
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-5)
+    gc = grads(base.replace(bwd_scan_sum_mm=False))
+    for x, y in zip(ga, gc):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.quick
 def test_pallas_sort_domain_reads_match_aligned():
     """Kernel-level check of the sort-domain read path: core_fwd/core_bwd
     fed the SORTED stream with arbitrary-phase segment ranges (two-block
