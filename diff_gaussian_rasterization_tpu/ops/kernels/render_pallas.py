@@ -407,24 +407,30 @@ def core_fwd(
 # forward + pose tangents (dual forward)
 # --------------------------------------------------------------------------
 
-TAN_PER_K = 3  # tangent feature rows per direction: dx, dy, ddepth
+TAN_PER_K = 3  # light-variant tangent rows per direction: dx, dy, ddepth
 
 
-def pack_tangents(tan_xy, tan_depth):
-    """K-tuples of [I, 2] / [I] -> [I // BLOCK + 1, TFEAT, BLOCK] planes.
+def pack_tangents(tan_xy, tan_depth, tan_conic=()):
+    """K-tuples of [I, 2] / [I] (+ optional [I, 3]) -> packed tangent planes
+    [I // BLOCK + 1, TFEAT, BLOCK].
 
-    Row layout per tangent k: 3k + (0: dx, 1: dy, 2: ddepth); rows are
-    padded up to a sublane multiple of 8.  A trailing zero block backs the
-    two-block slab reads (see ``pack_instances``).
+    Row layout per tangent k: ``per_k * k + (0: dx, 1: dy, 2: ddepth``
+    ``[, 3: dA, 4: dB, 5: dC])`` — the conic rows carry the full variant's
+    Sigma2D/EWA pose branch (full backward.cu:243-302 in forward mode);
+    rows are padded up to a sublane multiple of 8.  A trailing zero block
+    backs the two-block slab reads (see ``pack_instances``).
     """
     i = tan_xy[0].shape[0]
     assert i % BLOCK == 0
     k_t = len(tan_xy)
-    tfeat = -(-(TAN_PER_K * k_t) // 8) * 8
+    per_k = 6 if len(tan_conic) else TAN_PER_K
+    tfeat = -(-(per_k * k_t) // 8) * 8
     cols = []
     for k in range(k_t):
         cols += [tan_xy[k], tan_depth[k][:, None]]
-    cols.append(jnp.zeros((i, tfeat - TAN_PER_K * k_t), tan_xy[0].dtype))
+        if len(tan_conic):
+            cols.append(tan_conic[k])
+    cols.append(jnp.zeros((i, tfeat - per_k * k_t), tan_xy[0].dtype))
     flat = jnp.concatenate(cols, axis=1)
     blocks = jnp.transpose(flat.reshape(i // BLOCK, BLOCK, tfeat), (0, 2, 1))
     return jnp.concatenate(
@@ -439,7 +445,7 @@ def _jvp_kernel(
     out_ref,
     data_scr, tan_scr, sems, tsems,
     *, cfg: RasterConfig, tiles_x: int, height: int, width: int, sub: int,
-    n_tiles: int, batch: int, k_t: int,
+    n_tiles: int, batch: int, k_t: int, per_k: int = TAN_PER_K,
 ):
     q = cfg.tile_px
     n_sub = BLOCK // sub
@@ -505,24 +511,29 @@ def _jvp_kernel(
                 packed = jax.lax.slice(block,
                                        (6, c * sub), (13, (c + 1) * sub))
                 tan_xy = tuple(
-                    jnp.stack([_sub(tblock[3 * kk], c, sub),
-                               _sub(tblock[3 * kk + 1], c, sub)], -1)
+                    jnp.stack([_sub(tblock[per_k * kk], c, sub),
+                               _sub(tblock[per_k * kk + 1], c, sub)], -1)
                     for kk in range(k_t))
-                tan_d = tuple(_sub(tblock[3 * kk + 2], c, sub)
+                tan_d = tuple(_sub(tblock[per_k * kk + 2], c, sub)
                               for kk in range(k_t))
+                tan_c = tuple(
+                    jnp.stack([_sub(tblock[per_k * kk + 3], c, sub),
+                               _sub(tblock[per_k * kk + 4], c, sub),
+                               _sub(tblock[per_k * kk + 5], c, sub)], -1)
+                    for kk in range(k_t)) if per_k == 6 else ()
                 off = k * BLOCK + c * sub
                 gi = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
                 valid = ((off + gi) < (stop - start)) & pixmask[None, :]
 
                 def live_chunk(carry, xy=xy, conic=conic, opac=opac,
                                color=color, depth=depth, dmed=dmed,
-                               tan_xy=tan_xy, tan_d=tan_d,
+                               tan_xy=tan_xy, tan_d=tan_d, tan_c=tan_c,
                                valid=valid, off=off, packed=packed):
                     out, _, _ = blend.blend_chunk_fwd_jvp(
                         carry, xy, conic, opac, color, depth, dmed,
                         tan_xy, tan_d, valid, px, py, gt, off, cfg,
                         global_base=start + off, packed_rows=packed,
-                        want_instance_stats=False,
+                        want_instance_stats=False, tan_conic=tan_c,
                     )
                     return out
 
@@ -586,7 +597,7 @@ def core_fwd_jvp(
     tile_start, tile_stop, gt_tiles,
     *, cfg: RasterConfig, tiles_x: int, capacity: int,
     height: int, width: int, tile_batch: int = 0, interpret=None,
-    tile_index=None,
+    tile_index=None, tan_conic=(),
 ):
     """Pallas dual forward: primal render + K exact pose tangents.
 
@@ -595,7 +606,10 @@ def core_fwd_jvp(
     instead of K+1 full renders.  Returns (CoreOutputs, PoseTangents) like
     :func:`tile_xla.core_fwd_jvp_xla`.  The median tangent is structurally
     zero (the median stream reads the pose-stopped depth copy), so
-    PoseTangents.median is zeros.
+    PoseTangents.median is zeros.  ``tan_conic`` (K-tuple of [I, 3])
+    additionally propagates the Sigma2D/EWA pose branch — the full
+    variant's Jacobian (full backward.cu:243-302 in forward mode) — as 3
+    extra tangent rows per direction.
     """
     from ..tile_xla import PoseTangents
 
@@ -608,11 +622,12 @@ def core_fwd_jvp(
     sub = min(cfg.chunk, BLOCK)
     i_total = xy.shape[0]
     k_t = len(tan_xy)
+    per_k = 6 if len(tan_conic) else TAN_PER_K
     b = max(1, cfg.kernel_tile_batch)
     t_pad = -(-t // b) * b
 
     packed = pack_instances(xy, conic, opac, color, depth, depth_med)
-    tpacked = pack_tangents(tan_xy, tan_depth)
+    tpacked = pack_tangents(tan_xy, tan_depth, tan_conic)
     tfeat = tpacked.shape[1]
     assert packed.shape[0] == tpacked.shape[0]
 
@@ -654,7 +669,7 @@ def core_fwd_jvp(
 
     kernel = functools.partial(
         _jvp_kernel, cfg=cfg, tiles_x=tiles_x, height=height, width=width,
-        sub=sub, n_tiles=t, batch=b, k_t=k_t,
+        sub=sub, n_tiles=t, batch=b, k_t=k_t, per_k=per_k,
     )
     f32 = jnp.float32
     out = pl.pallas_call(

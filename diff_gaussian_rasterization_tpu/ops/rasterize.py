@@ -722,12 +722,12 @@ def rasterize_with_pose_jvp(
         jvp_impl = render_pallas.core_fwd_jvp
     else:
         jvp_impl = tile_xla.core_fwd_jvp_xla
-    if full and (backend == "pallas" or mesh is not None):
+    if full and mesh is not None:
         raise ValueError(
             "pose_cov2d_branch forward-mode (Sigma2D tangents) is "
-            "implemented on the single-device XLA jvp path only — pass "
-            "backend='xla' (the Pallas/sharded paths implement the "
-            "light-variant pose Jacobian, README.md:53-58)")
+            "implemented on the single-device jvp paths (XLA and Pallas) "
+            "only — the sharded path implements the light-variant pose "
+            "Jacobian (README.md:53-58)")
     if mesh is not None:
         from ..parallel.sharded import make_sharded_jvp_core
         call = make_sharded_jvp_core(mesh, tile_axis, jvp_impl, **kw)
@@ -736,6 +736,8 @@ def rasterize_with_pose_jvp(
             inst_depth_med, tan_xy, tan_depth,
             binn.tile_start, binn.tile_stop, gt_tiles)
     elif full:
+        # full-variant Sigma2D tangents ride 3 extra rows per direction on
+        # both single-device backends (Pallas: _jvp_kernel per_k=6)
         out, tano = jvp_impl(
             inst_xy, inst_conic, inst_opac, inst_color, inst_depth,
             inst_depth_med, tan_xy, tan_depth,

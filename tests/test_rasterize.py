@@ -367,11 +367,53 @@ def test_pose_jvp_full_variant_matches_jacfwd():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
-    # the light surface must NOT silently masquerade as full on the
-    # unsupported paths
-    with pytest.raises(ValueError):
-        rasterize_with_pose_jvp(
-            scene["means3D"], cam, cfg, tangents, backend="pallas", **kw)
+    # the light surface must NOT silently masquerade as full on the one
+    # remaining unsupported path (sharded mesh)
+    if len(jax.devices()) > 1:
+        from diff_gaussian_rasterization_tpu.parallel.mesh import make_mesh
+        with pytest.raises(ValueError):
+            rasterize_with_pose_jvp(
+                scene["means3D"], cam, cfg, tangents,
+                mesh=make_mesh(shape=(len(jax.devices()),),
+                               axis_names=("tile",)), **kw)
+
+
+@pytest.mark.quick
+def test_pose_jvp_full_variant_pallas_matches_xla():
+    """Round 5: the Sigma2D/EWA conic tangents now ride the Pallas
+    _jvp_kernel too (3 extra tangent rows per twist, per_k=6) — the
+    Pallas full-variant dual render must match the XLA JVP path, so
+    exact full-Jacobian GN can run at bench scale."""
+    from diff_gaussian_rasterization_tpu.models import lie
+    from diff_gaussian_rasterization_tpu.ops.rasterize import (
+        rasterize_with_pose_jvp,
+    )
+
+    cfg = RasterConfig(tile_h=8, tile_w=16, chunk=32,
+                       pose_cov2d_branch=True)
+    scene, cam = make_scene(p=96, h=32, w=64, seed=23)
+    kw = {k: v for k, v in scene.items()
+          if k not in ("means3D", "bg", "gt_depth")}
+    view0 = cam.viewmatrix
+    tw_basis = jax.jacfwd(lambda xi: lie.apply_twist(view0, xi))(
+        jnp.zeros((6,), jnp.float32))
+    tangents = jnp.moveaxis(tw_basis, -1, 0)
+
+    def run(backend):
+        return rasterize_with_pose_jvp(
+            scene["means3D"], cam, cfg, tangents, bg=scene["bg"],
+            gt_depth=scene["gt_depth"], backend=backend, tile_batch=4,
+            **kw)
+
+    a = run("xla")
+    b = run("pallas")
+    np.testing.assert_allclose(np.asarray(a.out.color),
+                               np.asarray(b.out.color),
+                               rtol=1e-4, atol=2e-5)
+    for name in ("color", "depth", "opacity_map"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            rtol=2e-4, atol=5e-5, err_msg=name)
 
 
 def test_pose_jvp_sigma2d_branch_bound():
