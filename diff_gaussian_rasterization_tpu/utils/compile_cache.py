@@ -13,23 +13,56 @@ Call :func:`enable_compile_cache` before the first ``jit`` compilation
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 
-def enable_compile_cache(path: str | None = None) -> str:
+def _host_fingerprint() -> str:
+    """Short fingerprint of the host CPU's ISA features.
+
+    XLA:CPU persists AOT-compiled machine code keyed only by the HLO; a
+    cache directory reused on a host with DIFFERENT vector features loads
+    code compiled for the other machine ("Machine type used for XLA:CPU
+    compilation doesn't match ... could lead to execution errors such as
+    SIGILL" — observed as a non-reproducible rc=139 in a long test run
+    when the workspace moved containers between rounds).  Partitioning
+    the cache per CPU-feature set makes a moved workspace start cold
+    instead of crashy.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+def enable_compile_cache(path: str | None = None,
+                         partition_by_host: bool = False) -> str:
     """Point JAX's persistent compilation cache at ``path`` and return it.
 
     Resolution order: explicit argument, ``DGR_TPU_CACHE_DIR`` env var,
     ``<repo>/.jax_cache`` next to the package.  Caching every executable
     (min compile time 0) is right for this workload: even the small
     helper graphs re-appear across bench/profiling/SLAM processes.
+
+    ``partition_by_host=True`` suffixes the directory with the host's
+    CPU-feature fingerprint — REQUIRED for XLA:CPU caches (the CPU test
+    mesh), whose entries are AOT machine code for the compiling host; TPU
+    caches store device executables and stay shared across hosts.
     """
     import jax
 
     path = path or os.environ.get("DGR_TPU_CACHE_DIR") or _DEFAULT
+    if partition_by_host:
+        path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

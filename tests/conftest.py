@@ -23,5 +23,10 @@ from diff_gaussian_rasterization_tpu.utils.compile_cache import (  # noqa: E402
     enable_compile_cache,
 )
 
+# partition_by_host: XLA:CPU cache entries are AOT machine code compiled
+# for a SPECIFIC host CPU; this workspace moves between containers across
+# rounds, and loading another host's entries warns "could lead to
+# execution errors such as SIGILL" (the likely cause of the one
+# non-reproducible rc=139 in a round-4 test run)
 enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache_cpu"))
+    os.path.abspath(__file__))), ".jax_cache_cpu"), partition_by_host=True)
