@@ -218,13 +218,17 @@ def main():
     cam = lambda v: Camera(viewmatrix=v, tanfovx=0.82, tanfovy=0.47,
                            height=H, width=W)
 
-    # scale across whatever chips exist: tile-sharded rendering over a mesh
+    # scale across whatever chips exist: tile-sharded rendering with
+    # SHARDED BINNING over a mesh — each chip bins only its tile-row band
     # (this environment has one chip; the path is equivalence-tested on a
-    # virtual 8-device mesh in tests/test_sharding.py)
+    # virtual 8-device mesh in tests/test_sharding.py, and this branch is
+    # exercised there via DGR_BENCH_* overrides)
     n_dev = len(jax.devices())
     if n_dev > 1:
         from diff_gaussian_rasterization_tpu.parallel.mesh import make_mesh
         kw["mesh"] = make_mesh(shape=(n_dev,), axis_names=("tile",))
+        kw["shard_binning"] = os.environ.get("DGR_SHARD_BINNING",
+                                             "1") == "1"
 
     # preflight: size the static instance budget from the true count.
     # count_instances compiles only the preprocess (seconds), not a full
