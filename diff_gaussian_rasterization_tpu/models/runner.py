@@ -137,14 +137,12 @@ class SLAMConfig:
             raise ValueError(
                 f"window_select must be 'random' or 'nearest', got "
                 f"{self.window_select!r}")
-        if self.mesh is not None and self.map_axis is not None:
-            # kf x map compose in ONE mapping step (one shard_map over both
-            # axes, parallel.sharded.sharded_kf_map_value_and_grad); only
-            # the uncertainty statistics are incompatible with map sharding
-            assert self.mapping.uncertainty_prune == 0, (
-                "uncertainty_prune needs global per-Gaussian stats, which "
-                "a map-sharded render cannot produce (the gathered rows "
-                "have no inverse-gather); disable one of the two")
+        # kf x map compose in ONE mapping step (one shard_map over both
+        # axes, parallel.sharded.sharded_kf_map_value_and_grad); since
+        # round 5 the uncertainty statistics compose with map sharding too:
+        # each shard routes its slice of the gathered per-Gaussian stats
+        # back through its compaction order (the inverse gather,
+        # parallel.sharded.scatter_gathered_stats)
 
 
 @dataclasses.dataclass

@@ -599,6 +599,7 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
         return Camera(viewmatrix=view, tanfovx=tanfovx, tanfovy=tanfovy,
                       height=height, width=width)
 
+    want_stats = mcfg.uncertainty_prune > 0
     if kf_sharded and map_sharded:
         from ..parallel.sharded import sharded_kf_map_value_and_grad
 
@@ -611,21 +612,30 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
             out = render_model(m, cam_of(view), cfg, gt_depth=depth,
                                means2D=gathered["__means2d"],
                                track_off=True)
-            return wt * rgbd_loss(out, Frame(rgb, depth), mcfg.w_color,
-                                  mcfg.w_depth)
+            l = wt * rgbd_loss(out, Frame(rgb, depth), mcfg.w_color,
+                               mcfg.w_depth)
+            if not want_stats:
+                return l
+            # per-Gaussian stats of the GATHERED working set; the wrapper
+            # routes them back to owning shards (inverse gather), padding
+            # frames (wt == 0) excluded like the other paths
+            return l, (out.gau_uncertainty * (wt > 0).astype(jnp.float32),
+                       out.gau_related_pixels * (wt > 0).astype(jnp.int32))
 
         vag = sharded_kf_map_value_and_grad(
             loss_one_g, mesh, kf_axis, map_axis, budget_per_shard=budget,
-            near=cfg.near)
-        loss, grads, _ = vag({**params, "__means2d": zeros2d},
-                             {"active": model.active},
-                             views, rgbs, depths, wts)
+            near=cfg.near, gau_stats=want_stats)
+        res = vag({**params, "__means2d": zeros2d},
+                  {"active": model.active},
+                  views, rgbs, depths, wts)
+        if want_stats:
+            loss, grads, _, (gau_u, gau_np) = res
+        else:
+            loss, grads, _ = res
+            gau_u = gau_np = None
         g2d = grads.pop("__means2d")
         # radii index the gathered working set, not global slots; received
-        # screen gradient is the global visibility proxy (as the map-only
-        # path; per-Gaussian uncertainty stats would need an inverse
-        # gather — SLAMConfig rejects uncertainty_prune with map sharding)
-        gau_u = gau_np = None
+        # screen gradient is the global visibility proxy
         visible = jnp.abs(g2d).sum(-1) > 0
     elif kf_sharded:
         from ..parallel.sharded import sharded_value_and_grad
@@ -660,15 +670,16 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
             vis = gau_u = gau_np = None
             for i in range(n_frames):
                 m = model.replace(**params)
+                order = valid = None
                 if map_axis is not None:
                     prm = {**params, "__means2d": means2d,
                            "active": model.active}
                     from ..parallel.sharded import gather_visible
                     budget = map_budget or model.capacity // mesh.shape[
                         map_axis]
-                    g, valid, _ = gather_visible(
+                    g, valid, _, order = gather_visible(
                         prm, views[i], mesh, map_axis,
-                        budget_per_shard=budget)
+                        budget_per_shard=budget, with_order=True)
                     m = model.replace(
                         **{k: g[k] for k in PARAM_FIELDS},
                         active=g["active"] & valid)
@@ -681,14 +692,28 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
                 total = total + wts[i] * rgbd_loss(
                     out, Frame(rgbs[i], depths[i]), mcfg.w_color,
                     mcfg.w_depth)
+                # window-summed per-Gaussian stats; padding frames excluded
+                live = (wts[i] > 0)
                 if map_axis is None:
-                    # window-summed per-Gaussian stats (matches the
-                    # kf-sharded path); padding frames excluded
-                    live = (wts[i] > 0)
                     v_i = (out.radii > 0) & live
                     u_i = out.gau_uncertainty * live.astype(jnp.float32)
                     n_i = out.gau_related_pixels * live.astype(jnp.int32)
                     vis = v_i if vis is None else (vis | v_i)
+                elif want_stats:
+                    # stats live on the gathered working set: route back
+                    # to owning shards (inverse gather)
+                    from ..parallel.sharded import scatter_gathered_stats
+                    u_i = scatter_gathered_stats(
+                        out.gau_uncertainty * live.astype(jnp.float32),
+                        order, valid, mesh, map_axis,
+                        p_global=model.capacity)
+                    n_i = scatter_gathered_stats(
+                        out.gau_related_pixels * live.astype(jnp.int32),
+                        order, valid, mesh, map_axis,
+                        p_global=model.capacity)
+                else:
+                    u_i = n_i = None
+                if u_i is not None:
                     gau_u = u_i if gau_u is None else gau_u + u_i
                     gau_np = n_i if gau_np is None else gau_np + n_i
             return (total / jnp.maximum(jnp.sum(wts), 1e-9),
@@ -698,9 +723,7 @@ def map_step(model: GaussianModel, opt_state, dstate: DensifyState,
             loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
         if map_axis is not None:
             # radii refer to the gathered working set, not global slots;
-            # "received screen gradient" is the global visibility proxy.
-            # Per-Gaussian uncertainty stats would need an inverse gather;
-            # SLAMConfig rejects uncertainty_prune with map sharding.
+            # "received screen gradient" is the global visibility proxy
             visible = jnp.abs(g2d).sum(-1) > 0
         else:
             visible = vis

@@ -143,7 +143,8 @@ def make_sharded_core(mesh: Mesh, axis: str, fwd_impl, bwd_impl, *,
 
 
 def gather_visible(params: dict, viewmatrix, mesh: Mesh, axis: str = "map",
-                   *, budget_per_shard: int, near: float = 0.2):
+                   *, budget_per_shard: int, near: float = 0.2,
+                   with_order: bool = False):
     """Frustum-cull a Gaussian-sharded map and all-gather the visible subset.
 
     ``params`` is a dict of per-Gaussian arrays with leading dim P, sharded
@@ -157,6 +158,11 @@ def gather_visible(params: dict, viewmatrix, mesh: Mesh, axis: str = "map",
     dim ``n_shards * budget_per_shard``, a validity mask (feed
     ``opacities * valid`` to the rasterizer so padded slots render as
     nothing), and a per-shard overflow flag (never a silent cap).
+
+    ``with_order=True`` additionally returns each shard's compaction
+    index (``order``, [n_shards * budget_per_shard] sharded over ``axis``)
+    — the handle for routing per-Gaussian render statistics back to their
+    owning shards (:func:`scatter_gathered_stats`).
     """
     n = mesh.shape[axis]
 
@@ -175,17 +181,53 @@ def gather_visible(params: dict, viewmatrix, mesh: Mesh, axis: str = "map",
         valid_g = jax.lax.all_gather(valid, axis, tiled=True)
         overflow = jax.lax.pmax(
             (count > budget_per_shard).astype(jnp.int32), axis)
-        return gathered, valid_g, overflow
+        return gathered, valid_g, overflow, order.astype(jnp.int32)
 
     # check_rep off: the varying-axis checker does not infer that a tiled
     # all_gather over `axis` makes its result replicated
     f = shard_map_fn(
         local, mesh,
         in_specs=(P(axis), P()),         # broadcast over the params dict
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P(axis)),
         check_rep=False,
     )
-    return f(_pin(mesh, P(axis), params), _pin(mesh, P(), viewmatrix))
+    out = f(_pin(mesh, P(axis), params), _pin(mesh, P(), viewmatrix))
+    return out if with_order else out[:3]
+
+
+def scatter_gathered_stats(stats, order, valid_g, mesh: Mesh,
+                           axis: str = "map", *, p_global: int):
+    """Route per-Gaussian statistics of a gathered working set back to the
+    owning map shards — the inverse of :func:`gather_visible`'s compaction.
+
+    ``stats`` [n*budget, k] is computed on the gathered (replicated)
+    working set, e.g. ``RenderOutputs.gau_uncertainty``; ``order`` is
+    ``gather_visible(with_order=True)``'s index and ``valid_g`` its mask.
+    Each shard takes ITS slice of the gathered rows and scatter-adds them
+    at ``order`` into its local [P/n, k] block; invalid (padding) rows
+    contribute zero.  Returns [P, k] sharded over ``axis``.  The reference
+    accumulates the same statistics with atomicAdd across pixels
+    (forward.cu:386-387); here the cross-device leg is a deterministic
+    scatter per shard.
+    """
+    n = mesh.shape[axis]
+    budget = order.shape[0] // n
+    p_loc = p_global // n
+    stats = jax.lax.stop_gradient(stats)
+
+    def local(st, od, vl):
+        mi = jax.lax.axis_index(axis)
+        sl = jax.lax.dynamic_slice_in_dim(st, mi * budget, budget, 0)
+        sl = jnp.where(vl[:, None], sl, 0)
+        return jnp.zeros((p_loc, st.shape[1]), st.dtype).at[od].add(sl)
+
+    f = shard_map_fn(
+        local, mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis), check_rep=False,
+    )
+    return f(_pin(mesh, P(), stats), _pin(mesh, P(axis), order),
+             _pin(mesh, P(axis), valid_g))
 
 
 def sharded_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
@@ -264,7 +306,8 @@ def sharded_kf_map_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
                                   kf_axis: str = "kf",
                                   map_axis: str = "map", *,
                                   budget_per_shard: int,
-                                  near: float = 0.2, n_extra: int = 1):
+                                  near: float = 0.2, n_extra: int = 1,
+                                  gau_stats: bool = False):
     """Keyframe x Gaussian-map sharding composed in ONE mapping step.
 
     The north-star topology (big map x many keyframes): ``params`` (dict of
@@ -290,12 +333,22 @@ def sharded_kf_map_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
 
     Returns ``f(params, consts, views, rgbs, depths, *extra) ->
     (loss, grads, overflow)``.
+
+    ``gau_stats=True``: ``loss_one_frame`` returns ``(scalar, stats)``
+    where stats is a tuple of [n_map*budget, k] per-Gaussian arrays on the
+    GATHERED working set (e.g. the uncertainty outputs).  Each map shard
+    routes its slice back through its compaction order (the inverse
+    gather), frames sum, and the kf axis psums — so uncertainty pruning
+    composes with map sharding.  Return becomes
+    ``(loss, grads, overflow, stats)`` with stats [P, k] sharded over
+    ``map_axis``.
     """
     nm = mesh.shape[map_axis]
 
     def local(params, consts, views, rgbs, depths, *extra):
         k = views.shape[0]
         wts = extra[0]
+        p_loc = params["means3D"].shape[0]
 
         def gather(prm, view):
             means = prm["means3D"]
@@ -309,34 +362,64 @@ def sharded_kf_map_value_and_grad(loss_one_frame: Callable, mesh: Mesh,
             gathered = {kk: jax.lax.all_gather(v, map_axis, tiled=True)
                         for kk, v in picked.items()}
             valid_g = jax.lax.all_gather(valid, map_axis, tiled=True)
-            return gathered, valid_g, (count > budget_per_shard)
+            return (gathered, valid_g, (count > budget_per_shard),
+                    order, valid)
+
+        def scatter_back(st, order, lvalid):
+            # inverse gather: my slice of the gathered stats, scattered at
+            # my compaction order into my local [p_loc, k] block
+            mi = jax.lax.axis_index(map_axis)
+            sl = jax.lax.dynamic_slice_in_dim(
+                jax.lax.stop_gradient(st), mi * budget_per_shard,
+                budget_per_shard, 0)
+            sl = jnp.where(lvalid[:, None], sl, 0)
+            return jnp.zeros((p_loc, st.shape[1]), st.dtype).at[order].add(
+                sl)
 
         def batch_loss(p):
             total = 0.0
             ovf = jnp.zeros((), jnp.int32)
+            stats = None
             for i in range(k):  # local keyframes; k static per shard
-                gathered, valid_g, o = gather({**p, **consts}, views[i])
-                total = total + loss_one_frame(
+                gathered, valid_g, o, order, lvalid = gather(
+                    {**p, **consts}, views[i])
+                out = loss_one_frame(
                     gathered, valid_g, views[i], rgbs[i], depths[i],
                     *(e[i] for e in extra))
+                if gau_stats:
+                    l_i, st_i = out
+                    routed = tuple(scatter_back(s, order, lvalid)
+                                   for s in st_i)
+                    stats = routed if stats is None else jax.tree.map(
+                        jnp.add, stats, routed)
+                else:
+                    l_i = out
+                total = total + l_i
                 ovf = jnp.maximum(ovf, o.astype(jnp.int32))
-            return total / nm, ovf
+            return total / nm, (ovf, stats)
 
-        (loss, ovf), grads = jax.value_and_grad(
+        (loss, (ovf, stats)), grads = jax.value_and_grad(
             batch_loss, has_aux=True)(params)
         denom = jnp.maximum(jax.lax.psum(jnp.sum(wts), kf_axis), 1e-9)
         loss = jax.lax.psum(loss, (kf_axis, map_axis)) / denom
         grads = jax.tree.map(
             lambda g: jax.lax.psum(g, kf_axis) / denom, grads)
         overflow = jax.lax.pmax(ovf, (kf_axis, map_axis))
+        if gau_stats:
+            stats = tuple(jax.lax.psum(s, kf_axis) for s in stats)
+            return loss, grads, overflow, stats
         return loss, grads, overflow
 
     # check_rep off: tiled all_gather + value_and_grad inside the body; the
     # varying-axes checker cannot type this (same reason as gather_visible)
+    n_stats = 2 if gau_stats else 0
+    out_specs = (P(), P(map_axis), P())
+    if gau_stats:
+        out_specs = out_specs + ((P(map_axis),) * n_stats,)
     f = shard_map_fn(
         local, mesh,
         in_specs=(P(map_axis), P(map_axis)) + (P(kf_axis),) * (3 + n_extra),
-        out_specs=(P(), P(map_axis), P()), check_rep=False,
+        out_specs=out_specs, check_rep=False,
     )
 
     def pinned(params, consts, *batched):

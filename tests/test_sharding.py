@@ -358,7 +358,10 @@ def test_kf_x_map_composed_mapping_step_matches_single_device():
     kf = (jnp.stack([views[0], views[2], views[3]]),
           jnp.stack([frames[i].rgb for i in (0, 2, 3)]),
           jnp.stack([frames[i].depth for i in (0, 2, 3)]))
-    mcfg = MappingConfig(iters=3)
+    # uncertainty_prune > 0 exercises the round-5 inverse gather: stats of
+    # the gathered working set route back to owning shards, so pruning
+    # decisions must be mesh-invariant (threshold chosen to prune SOME)
+    mcfg = MappingConfig(iters=3, uncertainty_prune=0.05)
 
     def run(mesh, map_axis):
         opt = make_map_optimizer(mcfg)
@@ -373,15 +376,29 @@ def test_kf_x_map_composed_mapping_step_matches_single_device():
     m1, l1 = run(None, None)
     devs = np.array(jax.devices()[:8]).reshape(2, 4)
     m2, l2 = run(jax.sharding.Mesh(devs, ("kf", "map")), "map")
+    # map-only sharding (kf axis trivial) takes the gather_visible path
+    devs2 = np.array(jax.devices()[:4]).reshape(1, 4)
+    m3, l3 = run(jax.sharding.Mesh(devs2, ("kf", "map")), "map")
 
     # the composed step pads the 3-frame window to 4 (weight 0) and
     # reorders Gaussians through the gather; results must still agree to
     # collective-summation tolerance
     assert abs(l1 - l2) < 1e-5, (l1, l2)
+    assert abs(l1 - l3) < 1e-5, (l1, l3)
+    # some pruning must actually have happened for this to test anything
+    assert int(m1.num_active) < int(start.num_active), (
+        "threshold pruned nothing; weaken it")
+    np.testing.assert_array_equal(np.asarray(m1.active),
+                                  np.asarray(m2.active))
+    np.testing.assert_array_equal(np.asarray(m1.active),
+                                  np.asarray(m3.active))
     for f in ("means3D", "sh", "opacities_logit", "scales_log",
               "rotations"):
         np.testing.assert_allclose(
             np.asarray(getattr(m1, f)), np.asarray(getattr(m2, f)),
+            rtol=1e-4, atol=1e-5, err_msg=f)
+        np.testing.assert_allclose(
+            np.asarray(getattr(m1, f)), np.asarray(getattr(m3, f)),
             rtol=1e-4, atol=1e-5, err_msg=f)
 
 
