@@ -196,10 +196,15 @@ def bin_gaussians(prep: Preprocessed, tiles_x: int, tiles_y: int,
     # shrink every tile's kernel segment.
     if tile_w > 0 and tile_h > 0:
         ca, cb, cc = bf(6), bf(7), bf(8)
+        # static zero offset must not emit an add op: it would change the
+        # HLO fingerprint of every unbanded graph and bust the persistent
+        # compile cache (observed: a 40-min cold re-compile of the bench
+        # graph through a slow relay for a folded-away +0)
+        ty_glob = (ty if isinstance(row_offset, int) and row_offset == 0
+                   else ty + row_offset)
         dx0 = tx.astype(jnp.float32) * tile_w - bf(9) - margin_px
         dx1 = dx0 + (tile_w - 1) + 2.0 * margin_px
-        dy0 = (ty + row_offset).astype(jnp.float32) * tile_h - bf(10) \
-            - margin_px
+        dy0 = ty_glob.astype(jnp.float32) * tile_h - bf(10) - margin_px
         dy1 = dy0 + (tile_h - 1) + 2.0 * margin_px
         inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
         safe_a = jnp.maximum(ca, 1e-12)
