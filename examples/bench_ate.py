@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--window-select", default="nearest",
                     choices=["nearest", "random"])
     ap.add_argument("--coverage-map-iters", type=int, default=0)
+    ap.add_argument("--kf-cooldown", type=int, default=0,
+                    help="cooldown (frames) on the coverage keyframe "
+                         "trigger; see SLAMConfig.kf_coverage_cooldown")
     ap.add_argument("--reloc-spike", type=float, default=0.0,
                     help="re-track from nearest keyframes when the GN cost "
                          "spikes past this factor of the recent median")
@@ -141,6 +144,7 @@ def main():
         refine_cost_gate=args.refine_cost_gate,
         kf_min_coverage=args.kf_coverage,
         coverage_map_iters=args.coverage_map_iters,
+        kf_coverage_cooldown=args.kf_cooldown,
         window_select=args.window_select,
         reloc_spike=args.reloc_spike,
         reloc_candidates=args.reloc_candidates,
