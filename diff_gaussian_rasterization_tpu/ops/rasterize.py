@@ -417,6 +417,11 @@ def rasterize(
     if mesh is not None and shard_binning:
         if not use_custom_vjp:
             raise ValueError("shard_binning requires the custom-VJP path")
+        if binn is not None:
+            raise ValueError(
+                "shard_binning bins per device inside the shard_map; a "
+                "precomputed single-device Binned cannot be reused — drop "
+                "binn= or shard_binning")
         if max_instances is None:
             max_instances = cfg.max_instances or default_max_instances(
                 p, cfg.instance_multiplier)
