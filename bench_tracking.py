@@ -71,21 +71,22 @@ def main():
     # DGR_TRACK_FREEZE=1: bin once per frame (margin DGR_TRACK_MARGIN px)
     # and reuse across GN iterations.  DGR_TRACK_LS=0: deferred accept —
     # one dual render per iteration instead of dual + accept-check.
-    # DGR_TRACK_PYR>1 + DGR_TRACK_COARSE: coarse-to-fine — the coarse
-    # level costs 4^-l per render, so pyramid=2 with fewer full-res
-    # iterations trades basin size for speed (round-5 arm).
+    # Round-5 record defaults (chip_session10): 3 full-res + 2 coarse
+    # pyramid iterations with frozen binning at margin 2 px — 7.07
+    # tracked fps at 3.5e-5 pose error, vs 5.81 fps / 4.1e-5 for the
+    # round-4 6-flat-iteration config (the coarse levels buy convergence
+    # depth at quarter cost; the margin-2 frozen binning runs the
+    # expansion/sort once per level instead of per iteration).  The
+    # accuracy alternative (4 full + 3 coarse): 5.73 fps at 8e-6.
     import os
     tcfg = TrackingConfig(
         method=os.environ.get("DGR_TRACK_METHOD", "gn"),
-        iters=int(os.environ.get("DGR_TRACK_ITERS", 6)),
-        freeze_binning=os.environ.get("DGR_TRACK_FREEZE", "0") == "1",
-        bin_margin_px=float(os.environ.get("DGR_TRACK_MARGIN", 8.0)),
-        # deferred-accept GN is the record config (round 4: 174 ms/frame
-        # at the same 4.1e-5 error) and the TrackingConfig default — the
-        # bench env default now matches it
+        iters=int(os.environ.get("DGR_TRACK_ITERS", 3)),
+        freeze_binning=os.environ.get("DGR_TRACK_FREEZE", "1") == "1",
+        bin_margin_px=float(os.environ.get("DGR_TRACK_MARGIN", 2.0)),
         line_search=os.environ.get("DGR_TRACK_LS", "0") == "1",
-        pyramid=int(os.environ.get("DGR_TRACK_PYR", 1)),
-        coarse_iters=int(os.environ.get("DGR_TRACK_COARSE", 3)),
+        pyramid=int(os.environ.get("DGR_TRACK_PYR", 2)),
+        coarse_iters=int(os.environ.get("DGR_TRACK_COARSE", 2)),
     )
 
     # ground-truth frame rendered at identity; initial guess = small twist.

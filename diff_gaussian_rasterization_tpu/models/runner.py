@@ -131,6 +131,14 @@ class SLAMConfig:
     # 6.5 -> 33 cm ATE.  The odometry chain keeps gated keyframes
     # constrained.
     refine_cost_gate: float = 0.0
+    # --- offline polish (0 = off) ---
+    # After the sequence (and the last pose-graph refinement), re-track
+    # EVERY frame's pose against the FINAL map with this many exact-GN
+    # iterations — the offline-SLAM global-polish step: frames tracked
+    # early against an immature map inherit the matured geometry.  Frame 0
+    # stays fixed (trajectory gauge).  The pre-polish trajectory is kept
+    # on ``state.online_views`` so benchmarks can report both.
+    final_retrack_iters: int = 0
 
     def __post_init__(self):
         if self.window_select not in ("random", "nearest"):
@@ -162,6 +170,8 @@ class SLAMState:
     # bootstrapped map (init_slam); kept here rather than written back into
     # the caller's SLAMConfig so a config object never acquires state
     raster: Optional[RasterConfig] = None
+    # pre-polish trajectory (set by final_retrack; None until then)
+    online_views: Optional[List] = None
 
 
 def backproject(frame: Frame, view, cam_t: Camera, stride: int):
@@ -452,17 +462,51 @@ def run_slam(dataset, scfg: SLAMConfig, cam_t: Camera,
     gt0, f0 = next(it)
     state = init_slam(jnp.asarray(gt0), f0, cam_t, scfg)
     gt_views = [gt0]
+    frames_kept = [f0] if scfg.final_retrack_iters > 0 else None
     for i, (gt, frame) in enumerate(it, start=1):
         if max_frames is not None and i >= max_frames:
             break
         state, loss = slam_step(state, frame, cam_t, scfg, i)
         gt_views.append(gt)
+        if frames_kept is not None:
+            frames_kept.append(frame)
         if verbose and i % 10 == 0:
             print(f"frame {i}: track loss {loss:.4f}, "
                   f"active {int(state.model.num_active)}")
     if scfg.pose_graph_refine and len(state.kf_views) >= 3:
         state = refine_keyframes(state, scfg, cam_t)
+    if frames_kept is not None:
+        state = final_retrack(state, frames_kept, scfg, cam_t,
+                              verbose=verbose)
     return state, gt_views
+
+
+def final_retrack(state: SLAMState, frames, scfg: SLAMConfig,
+                  cam_t: Camera, verbose: bool = False) -> SLAMState:
+    """Offline polish: re-track every frame against the FINAL map.
+
+    The online trajectory tracked each frame against the map as it existed
+    THEN; frames from the early, immature map carry that era's geometry
+    error forever.  Re-tracking from the converged estimate against the
+    final map (frozen; pose-only exact GN, one dual render/iteration) is
+    the direct-method analogue of the global bundle-adjust polish every
+    offline SLAM evaluation runs.  Frame 0 is the trajectory gauge and
+    stays fixed.  The pre-polish trajectory is preserved on
+    ``state.online_views``.
+    """
+    rcfg = state.raster if state.raster is not None else scfg.raster
+    tcfg = dataclasses.replace(scfg.tracking,
+                               iters=scfg.final_retrack_iters)
+    state.online_views = list(state.est_views)
+    for f in range(1, len(frames)):
+        v, c, _ = track_frame(
+            state.model, state.est_views[f], frames[f], rcfg, tcfg, cam_t,
+            mesh=scfg.mesh, tile_axis=scfg.tile_axis,
+            map_axis=scfg.map_axis, map_budget=scfg.map_budget_per_shard)
+        state.est_views[f] = v
+        if verbose and f % 20 == 0:
+            print(f"polish frame {f}: cost {float(c):.4f}")
+    return state
 
 
 def _dist_kw(scfg: SLAMConfig) -> dict:

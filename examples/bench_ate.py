@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--rgb-noise", type=float, default=0.01)
     ap.add_argument("--depth-noise", type=float, default=0.005)
     ap.add_argument("--no-refine", action="store_true")
+    ap.add_argument("--final-retrack", type=int, default=0,
+                    help="offline polish: re-track every frame against the "
+                         "final map with this many exact-GN iterations "
+                         "(reports both online and polished ATE)")
     ap.add_argument("--close-loop", action="store_true",
                     help="complete one full circuit within --frames (true "
                          "loop closure re-observing the earliest map)")
@@ -148,6 +152,7 @@ def main():
         window_select=args.window_select,
         reloc_spike=args.reloc_spike,
         reloc_candidates=args.reloc_candidates,
+        final_retrack_iters=args.final_retrack,
     )
     data = list(zip([np.asarray(v) for v in views], frames))
     t1 = time.time()
@@ -157,11 +162,17 @@ def main():
     gtv = [jnp.asarray(v) for v in gt_views]
     ate_m = ate_rmse(state.est_views, gtv)
     ate_static = ate_rmse([gtv[0]] * len(gtv), gtv)
+    extra = {}
+    if state.online_views is not None:
+        extra["ate_online_cm"] = round(
+            100 * float(ate_rmse(state.online_views, gtv)), 3)
+        extra["final_retrack_iters"] = args.final_retrack
     print(json.dumps({
         "metric": "ate_rmse_cm",
         "value": round(100 * float(ate_m), 3),
         "unit": "cm",
         "ate_no_tracking_cm": round(100 * float(ate_static), 3),
+        **extra,
         "frames": len(gtv),
         "res": f"{w}x{h}",
         "gaussians_gt": int(gt_model.num_active),
