@@ -89,18 +89,39 @@ class ReplicaDataset:
             yield self.pose(i), self.frame(i)
 
 
+def _centers(views) -> np.ndarray:
+    """Camera centers from row-convention w2c view matrices:
+    c = -R^{-1} t with R = V[:3,:3]^T (so R^{-1} = V[:3,:3])."""
+    out = []
+    for v in views:
+        v = np.asarray(v)
+        out.append(-(v[:3, :3] @ v[3, :3]))
+    return np.stack(out)
+
+
 def ate_rmse(est_views, gt_views) -> float:
     """Absolute trajectory error (RMSE of translation, after the usual
     closed-form alignment is *not* applied — CG-SLAM reports unaligned ATE
     for SLAM with known first pose)."""
-    est_t = np.stack([np.asarray(v)[3, :3] for v in est_views])
-    gt_t = np.stack([np.asarray(v)[3, :3] for v in gt_views])
-    # camera centers: c = -R^{-1} t with R = V[:3,:3]^T
-    def centers(vs):
-        out = []
-        for v in vs:
-            v = np.asarray(v)
-            out.append(-(v[:3, :3] @ v[3, :3]))
-        return np.stack(out)
-    err = centers(est_views) - centers(gt_views)
+    err = _centers(est_views) - _centers(gt_views)
+    return float(np.sqrt((err ** 2).sum(-1).mean()))
+
+
+def ate_rmse_aligned(est_views, gt_views) -> float:
+    """ATE RMSE after closed-form SE(3) (Umeyama, no scale) alignment of
+    the estimated trajectory to ground truth — the evo / TUM-benchmark
+    convention most published SLAM ATE tables use (the ~0.3 cm CG-SLAM
+    class numbers the reference README cites are evaluated this way).
+    Reported alongside the stricter unaligned :func:`ate_rmse`."""
+    est = _centers(est_views)
+    gt = _centers(gt_views)
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    # cross-covariance of centered clouds; SVD-based optimal rotation
+    cov = (gt - mu_g).T @ (est - mu_e) / len(est)
+    u, _, vt = np.linalg.svd(cov)
+    s = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        s[2, 2] = -1.0
+    rot = u @ s @ vt
+    err = (est - mu_e) @ rot.T + mu_g - gt
     return float(np.sqrt((err ** 2).sum(-1).mean()))

@@ -99,7 +99,8 @@ def main():
 
     from diff_gaussian_rasterization_tpu.camera import Camera
     from diff_gaussian_rasterization_tpu.config import RasterConfig
-    from diff_gaussian_rasterization_tpu.io.replica import ate_rmse
+    from diff_gaussian_rasterization_tpu.io.replica import (
+        ate_rmse, ate_rmse_aligned)
     from diff_gaussian_rasterization_tpu.io.synthetic import (
         render_sequence, replica_like_model, walkthrough_trajectory)
     from diff_gaussian_rasterization_tpu.models.runner import (
@@ -171,6 +172,8 @@ def main():
         "metric": "ate_rmse_cm",
         "value": round(100 * float(ate_m), 3),
         "unit": "cm",
+        "ate_aligned_cm": round(
+            100 * float(ate_rmse_aligned(state.est_views, gtv)), 3),
         "ate_no_tracking_cm": round(100 * float(ate_static), 3),
         **extra,
         "frames": len(gtv),

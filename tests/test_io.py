@@ -51,6 +51,31 @@ def test_ate_rmse_zero_for_identical():
     assert ate_rmse(shifted, views) > 0.5
 
 
+def test_ate_rmse_aligned_removes_global_rigid_offset():
+    """SE(3)-aligned ATE (the evo/TUM convention) must vanish when the
+    estimated trajectory differs from ground truth by one global rigid
+    transform, while the unaligned metric sees the full offset; aligned
+    can never exceed unaligned."""
+    from diff_gaussian_rasterization_tpu.io.replica import ate_rmse_aligned
+    # non-collinear camera centers (translation curves through x/y/z)
+    views = [jnp.asarray(lie.exp_se3(jnp.asarray(
+        [0.1 * i, 0.03 * i * i, 0.2 * np.sin(i), 0, 0.05 * i, 0.02 * i],
+        dtype=jnp.float32))).T for i in range(6)]
+    # world-side rigid offset: w2c' = w2c @ W  =>  V' = W^T @ V
+    w_t = np.asarray(lie.exp_se3(jnp.asarray(
+        [0.3, -0.2, 0.1, 0.4, -0.1, 0.25], dtype=jnp.float32))).T
+    est = [jnp.asarray(w_t @ np.asarray(v)) for v in views]
+    raw = ate_rmse(est, views)
+    assert raw > 0.1
+    assert ate_rmse_aligned(est, views) < 1e-5
+    assert ate_rmse_aligned(views, views) < 1e-7
+    # a non-rigid perturbation: alignment helps but cannot hide it
+    noisy = [v if i % 2 else jnp.asarray(w_t @ np.asarray(v))
+             for i, v in enumerate(views)]
+    a = ate_rmse_aligned(noisy, views)
+    assert 0.0 < a <= ate_rmse(noisy, views) + 1e-9
+
+
 def test_checkpoint_roundtrip(tmp_path):
     # SURVEY.md §5: the reference has no persistence; ours checkpoints the
     # Gaussian map pytree + trajectory via orbax.
