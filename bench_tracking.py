@@ -71,22 +71,24 @@ def main():
     # DGR_TRACK_FREEZE=1: bin once per frame (margin DGR_TRACK_MARGIN px)
     # and reuse across GN iterations.  DGR_TRACK_LS=0: deferred accept —
     # one dual render per iteration instead of dual + accept-check.
-    # Round-5 record defaults (chip_session10): 3 full-res + 2 coarse
-    # pyramid iterations with frozen binning at margin 2 px — 7.07
-    # tracked fps at 3.5e-5 pose error, vs 5.81 fps / 4.1e-5 for the
-    # round-4 6-flat-iteration config (the coarse levels buy convergence
-    # depth at quarter cost; the margin-2 frozen binning runs the
-    # expansion/sort once per level instead of per iteration).  The
-    # accuracy alternative (4 full + 3 coarse): 5.73 fps at 8e-6.
+    # Round-5 record defaults (chip_session12): 2 full-res + 3 coarse
+    # pyramid iterations with frozen binning at margin 2 px — 7.87
+    # tracked fps at 1.8e-5 pose error, beating the session-10 3+2
+    # config (7.07 fps / 3.5e-5) on BOTH axes: once the coarse levels
+    # put the pose inside the fine basin, a half-res iteration buys more
+    # convergence per ms than a full-res one.  Session-13 bracketing:
+    # 1+4 (6.90/4.6e-5) and 1+5 (6.85/3.9e-5) lose — one full-res
+    # polish iteration is not enough; margin 1 px loses to 2 px
+    # (7.45 fps, same error).  Fast-but-loose: 2+2 = 8.55 fps / 2.45e-4.
     import os
     tcfg = TrackingConfig(
         method=os.environ.get("DGR_TRACK_METHOD", "gn"),
-        iters=int(os.environ.get("DGR_TRACK_ITERS", 3)),
+        iters=int(os.environ.get("DGR_TRACK_ITERS", 2)),
         freeze_binning=os.environ.get("DGR_TRACK_FREEZE", "1") == "1",
         bin_margin_px=float(os.environ.get("DGR_TRACK_MARGIN", 2.0)),
         line_search=os.environ.get("DGR_TRACK_LS", "0") == "1",
         pyramid=int(os.environ.get("DGR_TRACK_PYR", 2)),
-        coarse_iters=int(os.environ.get("DGR_TRACK_COARSE", 2)),
+        coarse_iters=int(os.environ.get("DGR_TRACK_COARSE", 3)),
     )
 
     # ground-truth frame rendered at identity; initial guess = small twist.
