@@ -34,10 +34,24 @@ def _host_fingerprint() -> str:
     """
     try:
         with open("/proc/cpuinfo") as f:
+            parts = {}
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+                key = line.split(":", 1)[0].strip()
+                # flags alone are NOT enough: XLA's machine-type detection
+                # (e.g. +prefer-no-gather for gather-mitigated Intel parts)
+                # keys off cpuid model/microcode, which can differ between
+                # two hosts with identical flag sets — observed as the
+                # AOT-loader mismatch warning on entries from a same-flags
+                # foreign container.  Fold the identity fields in too.
+                if key in ("flags", "vendor_id", "cpu family", "model",
+                           "stepping", "microcode", "model name"):
+                    val = line.split(":", 1)[1].strip()
+                    if key == "flags":
+                        val = " ".join(sorted(val.split()))
+                    parts.setdefault(key, val)
+            if parts:
+                blob = "|".join(f"{k}={v}" for k, v in sorted(parts.items()))
+                return hashlib.sha1(blob.encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
