@@ -30,3 +30,22 @@ from diff_gaussian_rasterization_tpu.utils.compile_cache import (  # noqa: E402
 # non-reproducible rc=139 in a round-4 test run)
 enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache_cpu"), partition_by_host=True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process executable accumulation across the long suite.
+
+    Full-suite runs (~45 min, 100+ tests, one process) have segfaulted
+    twice inside the persistent-cache READ path
+    (jax compilation_cache.get_executable_and_time deserializing an
+    entry that loads FINE in isolation) — a process-state-dependent
+    crash in jaxlib, not a bad cache entry and not memory pressure
+    (125 GB free at crash time).  Dropping the in-memory executable
+    caches between modules keeps the live-executable population small;
+    re-compiles stay cheap because the persistent cache serves them.
+    """
+    yield
+    jax.clear_caches()
